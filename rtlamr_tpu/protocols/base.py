@@ -1,0 +1,256 @@
+"""Protocol descriptors, message interfaces and the parser registry.
+
+Mirrors the reference's protocol layer (protocol/parse.go, protocol/decode.go
+config handling) as pure data + host-side parsing logic:
+
+- ``PacketConfig``   per-protocol radio configuration (decode.go:27-42).
+- ``DecoderConfig``  the merged configuration derived by registering one or
+  more protocols (decode.go:100-160): max-merge of DataRate/ChipLength/
+  PreambleSymbols/PacketSymbols, last-writer-wins CenterFreq, and the derived
+  SymbolLength/SampleRate/BlockSize/PacketLength/BufferLength values.
+- ``Message``        the decoded-message interface (parse.go:78-84).
+- ``Digest``         cross-block identity for dedup (parse.go:87-101).
+- ``register_parser`` / ``new_parser``  the name→factory registry
+  (parse.go:28-51); parser modules self-register at import time the way the
+  Go packages do in their init() functions.
+
+Parsers here are *host-side field extractors*: the device frontend (ops/)
+hands them fixed-shape candidate matrices (preamble-hit indices + sliced
+packet bits, plus R900 4-ary payload symbols), and they perform the
+per-block dedup, checksum validation and bitfield extraction exactly as the
+reference parsers do (scm/scm.go:61-91 etc.).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from typing import Callable, Dict, List, NamedTuple, Optional, Sequence
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# Configuration
+
+
+@dataclass(frozen=True)
+class PacketConfig:
+    """Packet-specific radio configuration (protocol/decode.go:27-42)."""
+
+    protocol: str
+    preamble: str  # ASCII '0'/'1' preamble bit pattern
+    data_rate: int
+    chip_length: int
+    preamble_symbols: int
+    packet_symbols: int
+    center_freq: int
+
+    @property
+    def preamble_bits(self) -> np.ndarray:
+        return np.frombuffer(self.preamble.encode(), dtype=np.uint8) - ord("0")
+
+
+def next_power_of_2(v: int) -> int:
+    """1 << ceil(log2(v)) (protocol/decode.go:377-379)."""
+    return 1 << math.ceil(math.log2(v))
+
+
+@dataclass
+class DecoderConfig:
+    """Merged decoder configuration (protocol/decode.go:100-160).
+
+    Built by :func:`build_decoder_config` from the registered parsers.
+    """
+
+    center_freq: int = 0
+    data_rate: int = 0
+    chip_length: int = 0
+    preamble_symbols: int = 0
+    packet_symbols: int = 0
+
+    symbol_length: int = 0
+    sample_rate: int = 0
+    preamble_length: int = 0
+    packet_length: int = 0
+    block_size: int = 0
+    block_size2: int = 0
+    buffer_length: int = 0
+
+    protocols: List[str] = field(default_factory=list)
+    # preamble bit-string -> parsers sharing it, in registration order
+    # (decode.go:124: IDM and NetIDM share one preamble and both parse the
+    # same sliced packets).
+    preamble_groups: Dict[str, List["Parser"]] = field(default_factory=dict)
+
+    def register(self, parser: "Parser") -> None:
+        cfg = parser.cfg
+        self.center_freq = cfg.center_freq  # last writer wins (decode.go:105)
+        self.data_rate = max(self.data_rate, cfg.data_rate)
+        self.chip_length = max(self.chip_length, cfg.chip_length)
+        self.preamble_symbols = max(self.preamble_symbols, cfg.preamble_symbols)
+        self.packet_symbols = max(self.packet_symbols, cfg.packet_symbols)
+        self.protocols.append(cfg.protocol)
+        self.preamble_groups.setdefault(cfg.preamble, []).append(parser)
+        parser.set_decoder(self)
+
+    def allocate(self) -> None:
+        """Derive lengths (protocol/decode.go:131-160)."""
+        self.symbol_length = self.chip_length << 1
+        self.sample_rate = self.data_rate * self.chip_length
+        self.preamble_length = self.preamble_symbols * self.symbol_length
+        self.packet_length = self.packet_symbols * self.symbol_length
+        self.block_size = next_power_of_2(self.preamble_length)
+        self.block_size2 = self.block_size << 1
+        self.buffer_length = self.packet_length + self.block_size
+
+    @property
+    def wants_r900(self) -> bool:
+        return any(p.wants_r900_symbols for ps in self.preamble_groups.values() for p in ps)
+
+    def group_packet_symbols(self, preamble: str) -> int:
+        """Symbols to slice for one preamble group.
+
+        The reference slices the merged (max) PacketSymbols for every hit
+        (decode.go:363) and each parser truncates to its own size
+        (scm/scm.go:66-67); slicing only the group's max is equivalent and
+        avoids gathering bits no parser in the group will read.
+        """
+        return max(p.cfg.packet_symbols for p in self.preamble_groups[preamble])
+
+    def describe(self) -> str:
+        lines = [
+            f"CenterFreq: {self.center_freq}",
+            f"SampleRate: {self.sample_rate}",
+            f"DataRate: {self.data_rate}",
+            f"ChipLength: {self.chip_length}",
+            f"PreambleSymbols: {self.preamble_symbols}",
+            f"PreambleLength: {self.preamble_length}",
+            f"PacketSymbols: {self.packet_symbols}",
+            f"PacketLength: {self.packet_length}",
+            f"Protocols: {','.join(self.protocols)}",
+            f"Preambles: {','.join(self.preamble_groups)}",
+        ]
+        return "\n".join(lines)
+
+
+def build_decoder_config(parsers: Sequence["Parser"]) -> DecoderConfig:
+    cfg = DecoderConfig()
+    for p in parsers:
+        cfg.register(p)
+    cfg.allocate()
+    return cfg
+
+
+# ---------------------------------------------------------------------------
+# Messages
+
+
+class Message:
+    """Decoded-message interface (protocol/parse.go:78-84)."""
+
+    def msg_type(self) -> str:
+        raise NotImplementedError
+
+    def meter_id(self) -> int:
+        raise NotImplementedError
+
+    def meter_type(self) -> int:
+        raise NotImplementedError
+
+    def checksum(self) -> bytes:
+        raise NotImplementedError
+
+    def record(self) -> List[str]:
+        """CSV field list (csv/csv.go Recorder interface)."""
+        raise NotImplementedError
+
+    def to_dict(self) -> dict:
+        """Ordered field mapping used by the JSON/XML encoders."""
+        raise NotImplementedError
+
+
+class Digest(NamedTuple):
+    """Uniquely identifies a message spanning two sample blocks
+    (protocol/parse.go:87-101)."""
+
+    msg_type: str
+    meter_type: int
+    meter_id: int
+    checksum: bytes
+
+
+def digest(msg: Message) -> Digest:
+    return Digest(msg.msg_type(), msg.meter_type(), msg.meter_id(), msg.checksum())
+
+
+# ---------------------------------------------------------------------------
+# Candidates and parsers
+
+
+@dataclass
+class Candidate:
+    """One preamble hit handed from the frontend to host parsers.
+
+    ``idx`` is the hit position within the block's search window — the same
+    quantity as Go's Data.Idx (decode.go:370). ``bits`` holds the sliced
+    packet symbols for the hit's preamble group. ``r900_symbols`` carries the
+    42 4-ary payload symbols for the R900 group (r900/r900.go:187-193),
+    pre-gathered by the frontend since the device owns the 6-ary quantized
+    stream.
+    """
+
+    idx: int
+    bits: np.ndarray
+    r900_symbols: Optional[np.ndarray] = None
+
+    def packed_bytes(self, n_symbols: int) -> np.ndarray:
+        from ..utils.bits import pack_bits
+
+        nbytes = (n_symbols + 7) >> 3
+        return pack_bits(self.bits[: nbytes * 8])
+
+
+class Parser:
+    """Host-side protocol parser (protocol/parse.go:72-76)."""
+
+    def __init__(self, cfg: PacketConfig):
+        self.cfg = cfg
+        self.decoder: Optional[DecoderConfig] = None
+
+    #: True when the frontend must produce R900 4-ary payload symbols.
+    wants_r900_symbols: bool = False
+
+    def set_decoder(self, d: DecoderConfig) -> None:
+        self.decoder = d
+
+    def parse(self, candidates: Sequence[Candidate]) -> List[Message]:
+        """Parse one block's candidates into messages.
+
+        Called once per sample block; implementations replicate the per-call
+        ``seen`` dedup of the reference parsers.
+        """
+        raise NotImplementedError
+
+
+# ---------------------------------------------------------------------------
+# Registry (protocol/parse.go:16-51)
+
+_REGISTRY: Dict[str, Callable[[int], Parser]] = {}
+
+
+def register_parser(name: str, factory: Callable[[int], Parser]) -> None:
+    if factory is None:
+        raise ValueError("parser: new parser func is nil")
+    if name in _REGISTRY:
+        raise ValueError(f"parser: parser already registered ({name})")
+    _REGISTRY[name] = factory
+
+
+def new_parser(name: str, chip_length: int) -> Parser:
+    if name not in _REGISTRY:
+        raise ValueError(f"invalid message type: {name!r}")
+    return _REGISTRY[name](chip_length)
+
+
+def registered_protocols() -> List[str]:
+    return sorted(_REGISTRY)

@@ -1,0 +1,205 @@
+"""IDM — Interval Data Message (reference: idm/idm.go).
+
+92-byte packet, 32-bit preamble ``01010101010101010001011010100011``
+(16 alternating training bits + frame sync 0x16A3). Two CCITT CRC checks
+(idm/idm.go:77-87): the packet CRC over bytes[4:92] and the serial-number
+CRC over bytes[9:13] ++ bytes[88:90], both against residue 0x1D0F. Field
+layout idm/idm.go:121-148, including 47 x 9-bit differential consumption
+intervals starting at bit 264. Messages with serial number 0 are dropped.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Sequence
+
+import numpy as np
+
+from ..utils.bits import bitfield
+from ..utils.crc import CRC
+from .base import Candidate, Message, PacketConfig, Parser, register_parser
+
+PACKET_BYTES = 92
+PACKET_SYMBOLS = PACKET_BYTES * 8
+PREAMBLE = "01010101010101010001011010100011"
+
+
+def packet_config(chip_length: int) -> PacketConfig:
+    return PacketConfig(
+        protocol="idm",
+        preamble=PREAMBLE,
+        data_rate=32768,
+        chip_length=chip_length,
+        preamble_symbols=32,
+        packet_symbols=PACKET_SYMBOLS,
+        center_freq=912600155,
+    )
+
+
+@dataclass
+class IDM(Message):
+    Preamble: int
+    PacketTypeID: int
+    PacketLength: int
+    HammingCode: int
+    ApplicationVersion: int
+    ERTType: int
+    ERTSerialNumber: int
+    ConsumptionIntervalCount: int
+    ModuleProgrammingState: int
+    TamperCounters: bytes  # 6 bytes
+    AsynchronousCounters: int
+    PowerOutageFlags: bytes  # 6 bytes
+    LastConsumptionCount: int
+    DifferentialConsumptionIntervals: tuple  # 47 x 9-bit
+    TransmitTimeOffset: int
+    SerialNumberCRC: int
+    PacketCRC: int
+
+    def msg_type(self) -> str:
+        return "IDM"
+
+    def meter_id(self) -> int:
+        return self.ERTSerialNumber
+
+    def meter_type(self) -> int:
+        return self.ERTType
+
+    def checksum(self) -> bytes:
+        return self.PacketCRC.to_bytes(2, "big")
+
+    def __str__(self) -> str:
+        intervals = "[" + " ".join(
+            str(v) for v in self.DifferentialConsumptionIntervals
+        ) + "]"
+        fields = [
+            f"Preamble:0x{self.Preamble:08X}",
+            f"PacketTypeID:0x{self.PacketTypeID:02X}",
+            f"PacketLength:0x{self.PacketLength:02X}",
+            f"HammingCode:0x{self.HammingCode:02X}",
+            f"ApplicationVersion:0x{self.ApplicationVersion:02X}",
+            f"ERTType:0x{self.ERTType:02X}",
+            f"ERTSerialNumber:{self.ERTSerialNumber: 10d}",
+            f"ConsumptionIntervalCount:{self.ConsumptionIntervalCount}",
+            f"ModuleProgrammingState:0x{self.ModuleProgrammingState:02X}",
+            f"TamperCounters:{self.TamperCounters.hex().upper()}",
+            f"AsynchronousCounters:0x{self.AsynchronousCounters:02X}",
+            f"PowerOutageFlags:{self.PowerOutageFlags.hex().upper()}",
+            f"LastConsumptionCount:{self.LastConsumptionCount}",
+            f"DifferentialConsumptionIntervals:{intervals}",
+            f"TransmitTimeOffset:{self.TransmitTimeOffset}",
+            f"SerialNumberCRC:0x{self.SerialNumberCRC:04X}",
+            f"PacketCRC:0x{self.PacketCRC:04X}",
+        ]
+        return "{" + " ".join(fields) + "}"
+
+    def record(self) -> List[str]:
+        r = [
+            f"0x{self.Preamble:08X}",
+            f"0x{self.PacketTypeID:02X}",
+            f"0x{self.PacketLength:02X}",
+            f"0x{self.HammingCode:02X}",
+            f"0x{self.ApplicationVersion:02X}",
+            f"0x{self.ERTType:02X}",
+            str(self.ERTSerialNumber),
+            str(self.ConsumptionIntervalCount),
+            f"0x{self.ModuleProgrammingState:02X}",
+            self.TamperCounters.hex().upper(),
+            f"0x{self.AsynchronousCounters:02X}",
+            self.PowerOutageFlags.hex().upper(),
+            str(self.LastConsumptionCount),
+        ]
+        r += [str(v) for v in self.DifferentialConsumptionIntervals]
+        r += [
+            str(self.TransmitTimeOffset),
+            f"0x{self.SerialNumberCRC:04X}",
+            f"0x{self.PacketCRC:04X}",
+        ]
+        return r
+
+    def to_dict(self) -> dict:
+        return {
+            "Preamble": self.Preamble,
+            "PacketTypeID": self.PacketTypeID,
+            "PacketLength": self.PacketLength,
+            "HammingCode": self.HammingCode,
+            "ApplicationVersion": self.ApplicationVersion,
+            "ERTType": self.ERTType,
+            "ERTSerialNumber": self.ERTSerialNumber,
+            "ConsumptionIntervalCount": self.ConsumptionIntervalCount,
+            "ModuleProgrammingState": self.ModuleProgrammingState,
+            "TamperCounters": list(self.TamperCounters),
+            "AsynchronousCounters": self.AsynchronousCounters,
+            "PowerOutageFlags": list(self.PowerOutageFlags),
+            "LastConsumptionCount": self.LastConsumptionCount,
+            "DifferentialConsumptionIntervals": list(
+                self.DifferentialConsumptionIntervals
+            ),
+            "TransmitTimeOffset": self.TransmitTimeOffset,
+            "SerialNumberCRC": self.SerialNumberCRC,
+            "PacketCRC": self.PacketCRC,
+        }
+
+
+def parse_idm(bits: np.ndarray, data: np.ndarray) -> IDM:
+    """Extract IDM fields from packet bits/bytes (idm/idm.go:121-148)."""
+    b = bytes(np.asarray(data, dtype=np.uint8)[:PACKET_BYTES])
+    intervals = tuple(
+        bitfield(bits, 264 + 9 * i, 264 + 9 * (i + 1)) for i in range(47)
+    )
+    return IDM(
+        Preamble=int.from_bytes(b[0:4], "big"),
+        PacketTypeID=b[4],
+        PacketLength=b[5],
+        HammingCode=b[6],
+        ApplicationVersion=b[7],
+        ERTType=b[8] & 0x0F,
+        ERTSerialNumber=int.from_bytes(b[9:13], "big"),
+        ConsumptionIntervalCount=b[13],
+        ModuleProgrammingState=b[14],
+        TamperCounters=b[15:21],
+        AsynchronousCounters=int.from_bytes(b[21:23], "big"),
+        PowerOutageFlags=b[23:29],
+        LastConsumptionCount=int.from_bytes(b[29:33], "big"),
+        DifferentialConsumptionIntervals=intervals,
+        TransmitTimeOffset=int.from_bytes(b[86:88], "big"),
+        SerialNumberCRC=int.from_bytes(b[88:90], "big"),
+        PacketCRC=int.from_bytes(b[90:92], "big"),
+    )
+
+
+class IDMParser(Parser):
+    msg_name = "idm"
+
+    def __init__(self, chip_length: int):
+        super().__init__(packet_config(chip_length))
+        self.crc = CRC("CCITT", 0xFFFF, 0x1021, 0x1D0F)
+
+    def _extract(self, cand: Candidate, data: np.ndarray) -> Message:
+        return parse_idm(cand.bits, data)
+
+    def _valid_id(self, msg: Message) -> bool:
+        return msg.meter_id() != 0
+
+    def parse(self, candidates: Sequence[Candidate]) -> List[Message]:
+        out: List[Message] = []
+        seen = set()
+        for cand in candidates:
+            data = cand.packed_bytes(PACKET_SYMBOLS)
+            key = data.tobytes()
+            if key in seen:
+                continue
+            seen.add(key)
+            if self.crc.checksum(data[4:92]) != self.crc.residue:
+                continue
+            serial_buf = np.concatenate([data[9:13], data[88:90]])
+            if self.crc.checksum(serial_buf) != self.crc.residue:
+                continue
+            msg = self._extract(cand, data)
+            if not self._valid_id(msg):
+                continue
+            out.append(msg)
+        return out
+
+
+register_parser("idm", IDMParser)

@@ -1,0 +1,128 @@
+"""SCM+ — Standard Consumption Message Plus (reference: scmplus/scmplus.go).
+
+16-byte packet, 16-bit preamble ``0001011010100011``; CCITT CRC-16
+(init 0xFFFF, poly 0x1021) over bytes[2:] must equal the residue 0x1D0F
+(scmplus/scmplus.go:48,77). Fields are a big-endian struct
+(scmplus/scmplus.go:95-109): FrameSync u16, ProtocolID u8, EndpointType u8,
+EndpointID u32, Consumption u32, Tamper u16, PacketCRC u16. Messages require
+EndpointID != 0 and ProtocolID == 0x1E (scmplus/scmplus.go:84).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Sequence
+
+import numpy as np
+
+from ..utils.crc import CRC
+from .base import Candidate, Message, PacketConfig, Parser, register_parser
+
+PACKET_BYTES = 16
+PACKET_SYMBOLS = PACKET_BYTES * 8
+
+
+def packet_config(chip_length: int) -> PacketConfig:
+    return PacketConfig(
+        protocol="scm+",
+        preamble="0001011010100011",
+        data_rate=32768,
+        chip_length=chip_length,
+        preamble_symbols=16,
+        packet_symbols=PACKET_SYMBOLS,
+        center_freq=912600155,
+    )
+
+
+@dataclass
+class SCMPlus(Message):
+    FrameSync: int
+    ProtocolID: int
+    EndpointType: int
+    EndpointID: int
+    Consumption: int
+    Tamper: int
+    PacketCRC: int
+
+    def msg_type(self) -> str:
+        return "SCM+"
+
+    def meter_id(self) -> int:
+        return self.EndpointID
+
+    def meter_type(self) -> int:
+        return self.EndpointType
+
+    def checksum(self) -> bytes:
+        return self.PacketCRC.to_bytes(2, "big")
+
+    def __str__(self) -> str:
+        return (
+            f"{{ProtocolID:0x{self.ProtocolID:02X} "
+            f"EndpointType:0x{self.EndpointType:02X} "
+            f"EndpointID:{self.EndpointID:10d} "
+            f"Consumption:{self.Consumption:10d} "
+            f"Tamper:0x{self.Tamper:04X} PacketCRC:0x{self.PacketCRC:04X}}}"
+        )
+
+    def record(self) -> List[str]:
+        return [
+            f"0x{self.FrameSync:x}",
+            f"0x{self.ProtocolID:x}",
+            f"0x{self.EndpointType:x}",
+            str(self.EndpointID),
+            str(self.Consumption),
+            f"0x{self.Tamper:x}",
+            f"0x{self.PacketCRC:x}",
+        ]
+
+    def to_dict(self) -> dict:
+        return {
+            "FrameSync": self.FrameSync,
+            "ProtocolID": self.ProtocolID,
+            "EndpointType": self.EndpointType,
+            "EndpointID": self.EndpointID,
+            "Consumption": self.Consumption,
+            "Tamper": self.Tamper,
+            "PacketCRC": self.PacketCRC,
+        }
+
+
+def parse_scmplus(data: np.ndarray) -> SCMPlus:
+    """Big-endian struct read of a 16-byte packet (scmplus/scmplus.go:105-109)."""
+    b = bytes(np.asarray(data, dtype=np.uint8)[:PACKET_BYTES])
+    return SCMPlus(
+        FrameSync=int.from_bytes(b[0:2], "big"),
+        ProtocolID=b[2],
+        EndpointType=b[3],
+        EndpointID=int.from_bytes(b[4:8], "big"),
+        Consumption=int.from_bytes(b[8:12], "big"),
+        Tamper=int.from_bytes(b[12:14], "big"),
+        PacketCRC=int.from_bytes(b[14:16], "big"),
+    )
+
+
+class SCMPlusParser(Parser):
+    def __init__(self, chip_length: int):
+        super().__init__(packet_config(chip_length))
+        self.crc = CRC("CCITT", 0xFFFF, 0x1021, 0x1D0F)
+
+    def parse(self, candidates: Sequence[Candidate]) -> List[Message]:
+        out: List[Message] = []
+        seen = set()
+        for cand in candidates:
+            data = cand.packed_bytes(PACKET_SYMBOLS)
+            key = data.tobytes()
+            if key in seen:
+                continue
+            seen.add(key)
+            if self.crc.checksum(data[2:]) != self.crc.residue:
+                continue
+            msg = parse_scmplus(data)
+            if msg.EndpointID == 0 or msg.ProtocolID != 0x1E:
+                continue
+            out.append(msg)
+        return out
+
+
+register_parser("scm+", SCMPlusParser)

@@ -1,0 +1,38 @@
+"""Bit-manipulation helpers shared by the oracle and host-side parsing."""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def pack_bits(bits: np.ndarray) -> np.ndarray:
+    """MSB-first pack of a (..., 8*k) 0/1 array into (..., k) uint8.
+
+    Matches the packing of protocol/decode.go:363-366 (shift-in MSB first).
+    """
+    bits = np.asarray(bits, dtype=np.uint8)
+    *lead, n = bits.shape
+    if n % 8:
+        raise ValueError(f"bit count {n} not a multiple of 8")
+    weights = np.array([128, 64, 32, 16, 8, 4, 2, 1], dtype=np.uint16)
+    grouped = bits.reshape(*lead, n // 8, 8).astype(np.uint16)
+    return (grouped @ weights).astype(np.uint8)
+
+
+def unpack_bits(data: np.ndarray) -> np.ndarray:
+    """MSB-first unpack of (..., k) uint8 into (..., 8*k) 0/1 uint8."""
+    data = np.asarray(data, dtype=np.uint8)
+    return np.unpackbits(data, axis=-1)
+
+
+def bits_to_uint(bits: np.ndarray) -> int:
+    """Interpret a 0/1 array MSB-first as an unsigned integer."""
+    v = 0
+    for b in np.asarray(bits).ravel():
+        v = (v << 1) | int(b)
+    return v
+
+
+def bitfield(bits: np.ndarray, lo: int, hi: int) -> int:
+    """Integer value of bits[lo:hi] MSB-first (mirrors Go's data.Bits[a:b])."""
+    return bits_to_uint(np.asarray(bits)[lo:hi])
