@@ -1,3 +1,4 @@
 from .dedup import BlockDeduper
+from .pipeline import WindowDecoder
 
-__all__ = ["BlockDeduper"]
+__all__ = ["BlockDeduper", "WindowDecoder"]

@@ -1,0 +1,267 @@
+"""Single-chip streaming window pipeline.
+
+Replaces the reference's three-goroutine per-block loop (main.go:135-296)
+with: accumulate IQ into a large window -> one jitted device program
+(ops/frontend.decode_window) -> host-side parsing of the compacted
+candidates with the reference's per-block ordering, digest dedup and filter
+semantics. The window is a whole number of reference block sizes so the
+block-granular dedup behavior (main.go:252-292) is preserved exactly.
+
+Between windows only the last ``halo = PacketLength + SymbolLength`` samples
+carry over (overlap-save) — the same halo a shard fetches from its left
+neighbor in the multi-chip path (parallel/).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..ops.frontend import FrontendSpec, make_frontend_spec, run_window
+from ..protocols.base import (
+    Candidate,
+    DecoderConfig,
+    Message,
+    Parser,
+    build_decoder_config,
+    digest as mk_digest,
+)
+from ..protocols.r900 import PAYLOAD_SYMBOLS
+from .dedup import BlockDeduper
+
+FilterFn = Callable[[Message], bool]
+
+
+class WindowDecoder:
+    """Streaming decoder over fixed-size sample windows.
+
+    Args:
+      parsers: registered protocol parsers (registration order is the
+        deterministic message order within a block).
+      window_blocks: reference blocks per device window. Larger windows
+        amortize launch/transfer overhead; dedup semantics are
+        window-size-invariant.
+      max_hits: device-side hit compaction capacity per preamble group per
+        window; overflow falls back to an exact NumPy path for that window.
+      filter_fn: optional message filter applied before dedup, matching the
+        reference's FilterChain position (main.go:237).
+    """
+
+    def __init__(
+        self,
+        parsers: Sequence[Parser],
+        window_blocks: int = 64,
+        max_hits: int = 256,
+        filter_fn: Optional[FilterFn] = None,
+    ):
+        self.parsers = list(parsers)
+        self.cfg: DecoderConfig = build_decoder_config(self.parsers)
+        self.spec: FrontendSpec = make_frontend_spec(
+            self.cfg, window_blocks, max_hits
+        )
+        self.filter_fn = filter_fn
+        # Group index -> parsers, aligned with spec.groups order.
+        self._group_parsers = [
+            self.cfg.preamble_groups[g.preamble] for g in self.spec.groups
+        ]
+        self.reset()
+
+    # -- streaming state ----------------------------------------------------
+
+    def reset(self) -> None:
+        self._carry = np.zeros(2 * self.spec.halo, np.uint8)
+        self._first = True
+        self._window_index = 0
+        self._deduper = BlockDeduper()
+        self._last_block = -1
+        self._pending = np.zeros(0, np.uint8)
+
+    @property
+    def window_bytes(self) -> int:
+        return 2 * self.spec.window
+
+    # -- capture / streaming APIs ------------------------------------------
+
+    def feed(self, iq_bytes: np.ndarray) -> List[Tuple[int, Message]]:
+        """Feed arbitrary-length IQ bytes; decode any completed windows."""
+        self._pending = np.concatenate(
+            [self._pending, np.asarray(iq_bytes, np.uint8)]
+        )
+        out: List[Tuple[int, Message]] = []
+        wb = self.window_bytes
+        while self._pending.size >= wb:
+            chunk, self._pending = self._pending[:wb], self._pending[wb:]
+            out.extend(self._process_window(chunk))
+        return out
+
+    def flush(self) -> List[Tuple[int, Message]]:
+        """Decode remaining full blocks (zero-padding the final window)."""
+        bs2 = 2 * self.cfg.block_size
+        full_blocks = self._pending.size // bs2
+        if full_blocks == 0:
+            return []
+        valid = self._pending[: full_blocks * bs2]
+        self._pending = self._pending[full_blocks * bs2 :]
+        padded = np.zeros(self.window_bytes, np.uint8)
+        padded[: valid.size] = valid
+        return self._process_window(padded, valid_blocks=full_blocks)
+
+    def decode_capture(
+        self, iq_bytes: np.ndarray, dedup: bool = True
+    ) -> List[Tuple[int, Message]]:
+        """Decode a whole capture; returns (block_index, message) pairs."""
+        self.reset()
+        self._dedup_enabled = dedup
+        try:
+            out = self.feed(np.asarray(iq_bytes, np.uint8))
+            out.extend(self.flush())
+        finally:
+            self._dedup_enabled = True
+        return out
+
+    _dedup_enabled: bool = True
+
+    # -- internals ----------------------------------------------------------
+
+    def _process_window(
+        self, window_bytes: np.ndarray, valid_blocks: Optional[int] = None
+    ) -> List[Tuple[int, Message]]:
+        spec = self.spec
+        iq_full = np.concatenate([self._carry, window_bytes])
+        res = run_window(spec, iq_full, self._first)
+        if int(np.max(res["counts"])) > spec.max_hits:
+            res = self._window_results_numpy(iq_full, self._first)
+        msgs = self._parse_window(res, valid_blocks)
+        self._carry = iq_full[-2 * spec.halo :].copy()
+        self._first = False
+        self._window_index += 1
+        return msgs
+
+    def _parse_window(
+        self, res: Dict[str, object], valid_blocks: Optional[int]
+    ) -> List[Tuple[int, Message]]:
+        spec = self.spec
+        bs = spec.block_size
+        wb = spec.window // bs
+        if valid_blocks is None:
+            valid_blocks = wb
+        window_block0 = self._window_index * wb
+
+        # Bucket candidates per (local block, group).
+        by_block: Dict[int, Dict[int, List[Candidate]]] = {}
+        for g, gspec in enumerate(spec.groups):
+            count = int(res["counts"][g])
+            cap = count if res.get("_uncapped") else min(count, spec.max_hits)
+            idx = np.asarray(res["idx"][g])[:cap]
+            data = np.asarray(res["bytes"][g])
+            syms = (
+                np.asarray(res["symbols"][g]) if g in res["symbols"] else None
+            )
+            for i, q in enumerate(idx):
+                q = int(q)
+                b = q // bs
+                if b >= valid_blocks:
+                    continue
+                bits = np.unpackbits(data[i])[: gspec.packet_symbols]
+                cand = Candidate(
+                    idx=q - b * bs,
+                    bits=bits,
+                    r900_symbols=syms[i] if syms is not None else None,
+                )
+                by_block.setdefault(b, {}).setdefault(g, []).append(cand)
+
+        out: List[Tuple[int, Message]] = []
+        for b in sorted(by_block):
+            global_block = window_block0 + b
+            if global_block > self._last_block + 1:
+                # Intervening empty blocks cleared the prev digest set
+                # (each empty block swaps in an empty next, main.go:292).
+                self._deduper.prev = set()
+            self._deduper.start_block()
+            for g, parsers in enumerate(self._group_parsers):
+                cands = by_block[b].get(g)
+                if not cands:
+                    continue
+                for parser in parsers:
+                    for msg in parser.parse(cands):
+                        if self.filter_fn is not None and not self.filter_fn(msg):
+                            continue
+                        if self._dedup_enabled and not self._deduper.check(
+                            mk_digest(msg)
+                        ):
+                            continue
+                        out.append((global_block, msg))
+            self._deduper.end_block()
+            self._last_block = global_block
+        return out
+
+    def _window_results_numpy(
+        self, iq_full: np.ndarray, first: bool
+    ) -> Dict[str, object]:
+        """Exact NumPy mirror of ops/frontend.decode_window without the
+        hit-capacity cap; used when a window overflows max_hits."""
+        spec = self.spec
+        cl, sl, pl, w = (
+            spec.chip_length,
+            spec.symbol_length,
+            spec.packet_length,
+            spec.window,
+        )
+        v = iq_full.astype(np.int64)
+        d = 255 - 2 * v
+        sq = d * d
+        mag = sq[0::2] + sq[1::2]
+        if first:
+            mag[: spec.halo] = 0
+        cs = np.concatenate([np.zeros(1, np.int64), np.cumsum(mag)])
+        lp = w + pl - sl
+        f = 2 * cs[cl : cl + lp] - cs[:lp] - cs[sl : sl + lp]
+        bits = (f >= 0).astype(np.uint8)
+        if first:
+            bits[:pl] = 0
+
+        q6 = None
+        if spec.wants_r900:
+            lq = w + pl - 2 * sl
+            c = [cs[sl + i * cl : sl + i * cl + lq] for i in range(5)]
+            a0 = 2 * c[2] - c[4] - c[0]
+            a1 = 2 * c[1] - 2 * c[2] + 2 * c[3] - c[4] - c[0]
+            a2 = 2 * c[1] - 2 * c[3] + c[4] - c[0]
+            mags = np.stack([np.abs(a0), np.abs(a1), np.abs(a2)])
+            argmax = np.argmax(mags, axis=0)
+            chosen = np.take_along_axis(
+                np.stack([a0, a1, a2]), argmax[None, :], axis=0
+            )[0]
+            q6 = (argmax + np.where(chosen > 0, 3, 0)).astype(np.uint8)
+
+        counts, idxs, byte_mats, symbol_mats = [], [], [], {}
+        for g, group in enumerate(spec.groups):
+            acc = np.ones(w, dtype=bool)
+            for k, bit in enumerate(group.bits):
+                acc &= bits[k * sl : k * sl + w] == bit
+            hit_idx = np.nonzero(acc)[0].astype(np.int32)
+            counts.append(len(hit_idx))
+            idxs.append(hit_idx)
+            s_g = group.packet_symbols
+            nbytes = (s_g + 7) >> 3
+            pkt_bits = np.zeros((len(hit_idx), nbytes * 8), np.uint8)
+            for i, q in enumerate(hit_idx):
+                pkt_bits[i, :s_g] = bits[q : q + s_g * sl : sl]
+            byte_mats.append(np.packbits(pkt_bits, axis=-1))
+            if group.wants_r900:
+                base = spec.preamble_length - sl
+                sym = np.zeros((len(hit_idx), PAYLOAD_SYMBOLS), np.uint8)
+                for i, q in enumerate(hit_idx):
+                    start = q + base
+                    sym[i] = q6[start : start + PAYLOAD_SYMBOLS * 4 * cl : 4 * cl]
+                symbol_mats[g] = sym
+        # Disable the cap for this result set.
+        counts_arr = np.asarray(counts, np.int32)
+        return {
+            "counts": counts_arr,
+            "idx": idxs,
+            "bytes": byte_mats,
+            "symbols": symbol_mats,
+            "_uncapped": True,
+        }

@@ -1,0 +1,249 @@
+"""TPU whole-stream DSP frontend (jnp reference implementation).
+
+This is the device compute path replacing the reference's per-block scalar
+loops (protocol/decode.go:163-375, r900/r900.go:82-150) with one jitted
+program over a large window of samples. The per-block buffer-shift scheme of
+the reference is algebraically equivalent to a whole-stream formulation with
+a left halo (overlap-save):
+
+- Let ``mag[t]`` be the magnitude stream and ``P`` the reference's Quantized
+  buffer laid out over time ("padded bit stream"). A window covering search
+  positions ``[s*W, (s+1)*W)`` of ``P`` needs mag samples
+  ``[s*W - PacketLength - SymbolLength, (s+1)*W)`` — i.e. a left halo of
+  ``H = PacketLength + SymbolLength`` samples and nothing to the right.
+- ``Ploc[q]`` (the window's slice of P) is the Manchester bit decision over
+  ``mag_local[q .. q+SymbolLength)``; preamble search reads ``Ploc`` at
+  stride SymbolLength; packet slicing reads up to
+  ``W - 1 + PacketLength - SymbolLength``.
+- The R900 6-ary stream with the same index convention is
+  ``Q6loc[j] = quantize6(mag_local[j+SymbolLength .. j+SymbolLength+4*CL))``
+  and payload symbol m of a hit at q is
+  ``Q6loc[q + PreambleLength - SymbolLength + m*4*CL]``
+  (r900/r900.go:187-193; the -SymbolLength is the coordinate offset between
+  the two quantized buffers).
+
+Exact integer arithmetic: the magnitude LUT scaled by 255^2 is the integer
+``(255-2v)^2`` (decode.go:209-216), so every matched-filter output is an
+exact integer. The cumulative sum is computed in int32 with wrap-around;
+all filter outputs are linear combinations of cumsum values whose
+coefficients sum to zero, so the wrap cancels and results are exact
+(|f| < 2^31). Bit decisions are therefore deterministic — no float
+accumulation-order concerns anywhere in the hot path.
+
+The first window of a stream has no history; the reference's buffers start
+zeroed (decode.go:144-145), replicated by masking the halo magnitude to zero
+and forcing the first PacketLength bit positions to 0.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Dict, List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..protocols.base import DecoderConfig
+from ..protocols.r900 import PAYLOAD_SYMBOLS
+
+
+@dataclass(frozen=True)
+class GroupSpec:
+    """Static per-preamble-group metadata baked into the jitted program."""
+
+    preamble: str
+    bits: Tuple[int, ...]
+    packet_symbols: int
+    wants_r900: bool
+
+
+@dataclass(frozen=True)
+class FrontendSpec:
+    """Static configuration of a decode window program."""
+
+    chip_length: int
+    symbol_length: int
+    preamble_length: int
+    packet_length: int
+    block_size: int
+    window: int  # W: search positions per window; multiple of block_size
+    max_hits: int  # K: compacted hit capacity per group per window
+    groups: Tuple[GroupSpec, ...]
+    wants_r900: bool
+
+    @property
+    def halo(self) -> int:
+        return self.packet_length + self.symbol_length
+
+    @property
+    def total_samples(self) -> int:
+        return self.halo + self.window
+
+
+def make_frontend_spec(
+    cfg: DecoderConfig, window_blocks: int, max_hits: int = 256
+) -> FrontendSpec:
+    groups = []
+    wants_any = False
+    for preamble, parsers in cfg.preamble_groups.items():
+        wants = any(p.wants_r900_symbols for p in parsers)
+        wants_any = wants_any or wants
+        groups.append(
+            GroupSpec(
+                preamble=preamble,
+                bits=tuple(int(c) for c in preamble),
+                packet_symbols=cfg.group_packet_symbols(preamble),
+                wants_r900=wants,
+            )
+        )
+    return FrontendSpec(
+        chip_length=cfg.chip_length,
+        symbol_length=cfg.symbol_length,
+        preamble_length=cfg.preamble_length,
+        packet_length=cfg.packet_length,
+        block_size=cfg.block_size,
+        window=window_blocks * cfg.block_size,
+        max_hits=max_hits,
+        groups=tuple(groups),
+        wants_r900=wants_any,
+    )
+
+
+def _magnitude(iq: jnp.ndarray) -> jnp.ndarray:
+    """Exact-integer squared magnitude: (255-2i)^2 + (255-2q)^2 (int32).
+
+    Equals 255^2 * (lut[i] + lut[q]) of decode.go:209-225 exactly.
+    """
+    v = iq.astype(jnp.int32)
+    d = 255 - 2 * v
+    sq = d * d
+    return sq[0::2] + sq[1::2]
+
+
+def _cumsum0(x: jnp.ndarray) -> jnp.ndarray:
+    """[0, cumsum(x)] in wrap-around int32 (exactness per module docstring)."""
+    return jnp.concatenate([jnp.zeros(1, jnp.int32), jnp.cumsum(x)])
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def decode_window(spec: FrontendSpec, iq: jnp.ndarray, first: jnp.ndarray):
+    """Decode one window of IQ samples.
+
+    Args:
+      spec: static window program configuration.
+      iq: (2 * (halo + window),) uint8 interleaved IQ. The first 2*halo bytes
+        are the left halo (the tail of the previous window's samples);
+        arbitrary for the stream's first window.
+      first: scalar bool — True for the stream's first window (zero history).
+
+    Returns a dict per preamble group index g:
+      counts[g]: scalar int32 total true hits (may exceed max_hits K)
+      idx[g]:    (K,) int32 ascending hit positions in [0, window),
+                 window as fill
+      bytes[g]:  (K, ceil(S_g/8)) uint8 MSB-first packed packet symbols
+      symbols[g] (R900 groups only): (K, 42) uint8 4-ary payload symbols
+    """
+    cl = spec.chip_length
+    sl = spec.symbol_length
+    pl = spec.packet_length
+    w = spec.window
+    halo = spec.halo
+    k_cap = spec.max_hits
+
+    mag = _magnitude(iq)  # (halo + w,) int32
+    # First window: reference history buffers start zeroed (decode.go:144).
+    pos = jax.lax.broadcasted_iota(jnp.int32, mag.shape, 0)
+    mag = jnp.where(jnp.logical_and(first, pos < halo), 0, mag)
+
+    cs = _cumsum0(mag)
+
+    # Manchester matched filter + 1-bit quantize (decode.go:229-245):
+    # f[q] = 2*cs[q+CL] - cs[q] - cs[q+SL]; bit = f >= 0.
+    lp = w + pl - sl  # P positions needed: search [0, w) + slice lookahead
+    f = (
+        2 * jax.lax.dynamic_slice(cs, (cl,), (lp,))
+        - jax.lax.dynamic_slice(cs, (0,), (lp,))
+        - jax.lax.dynamic_slice(cs, (sl,), (lp,))
+    )
+    bits = (f >= 0).astype(jnp.uint8)
+    # Force the initial PacketLength zero bits of the stream (decode.go:145).
+    bpos = jax.lax.broadcasted_iota(jnp.int32, bits.shape, 0)
+    bits = jnp.where(jnp.logical_and(first, bpos < pl), jnp.uint8(0), bits)
+
+    # R900 4-ary filter bank + 6-ary quantize (r900/r900.go:96-149), on the
+    # same window-start index convention (offset +SL into local magnitude).
+    q6 = None
+    if spec.wants_r900:
+        lq = w + pl - 2 * sl
+        c = [
+            jax.lax.dynamic_slice(cs, (sl + i * cl,), (lq,)) for i in range(5)
+        ]
+        a0 = 2 * c[2] - c[4] - c[0]  # 1100
+        a1 = 2 * c[1] - 2 * c[2] + 2 * c[3] - c[4] - c[0]  # 1010
+        a2 = 2 * c[1] - 2 * c[3] + c[4] - c[0]  # 1001
+        mags = jnp.stack([jnp.abs(a0), jnp.abs(a1), jnp.abs(a2)])
+        argmax = jnp.argmax(mags, axis=0)  # first max == strict-> chain
+        chosen = jnp.take_along_axis(
+            jnp.stack([a0, a1, a2]), argmax[None, :], axis=0
+        )[0]
+        q6 = (argmax + jnp.where(chosen > 0, 3, 0)).astype(jnp.uint8)
+
+    counts: List[jnp.ndarray] = []
+    idxs: List[jnp.ndarray] = []
+    byte_mats: List[jnp.ndarray] = []
+    symbol_mats: Dict[int, jnp.ndarray] = {}
+
+    for g, group in enumerate(spec.groups):
+        # Preamble correlation at stride SL (decode.go:255-328; the
+        # reference's two-stage byte elimination has an identical result).
+        acc = jnp.ones(w, dtype=jnp.bool_)
+        for k, bit in enumerate(group.bits):
+            seg = jax.lax.dynamic_slice(bits, (k * sl,), (w,))
+            acc = jnp.logical_and(acc, seg == bit)
+        counts.append(jnp.sum(acc, dtype=jnp.int32))
+        (hit_idx,) = jnp.nonzero(acc, size=k_cap, fill_value=w)
+        idxs.append(hit_idx.astype(jnp.int32))
+        safe_idx = jnp.where(hit_idx < w, hit_idx, 0).astype(jnp.int32)
+
+        # Bit slice at stride SL (decode.go:353-375) + MSB-first byte pack.
+        s_g = group.packet_symbols
+        nbytes = (s_g + 7) >> 3
+        s_pad = nbytes * 8
+        offs = jnp.arange(s_pad, dtype=jnp.int32) * sl
+        offs = jnp.where(jnp.arange(s_pad) < s_g, offs, 0)
+        gather_idx = safe_idx[:, None] + offs[None, :]
+        pkt_bits = jnp.take(bits, gather_idx, axis=0)
+        pkt_bits = jnp.where(jnp.arange(s_pad)[None, :] < s_g, pkt_bits, 0)
+        weights = jnp.array([128, 64, 32, 16, 8, 4, 2, 1], jnp.int32)
+        packed = jnp.einsum(
+            "knb,b->kn",
+            pkt_bits.reshape(k_cap, nbytes, 8).astype(jnp.int32),
+            weights,
+        ).astype(jnp.uint8)
+        byte_mats.append(packed)
+
+        if group.wants_r900:
+            # 42 payload symbols at stride 4*CL from the 6-ary stream
+            # starting at hit + PreambleLength - SymbolLength
+            # (r900/r900.go:187-193).
+            base = spec.preamble_length - sl
+            soffs = base + jnp.arange(PAYLOAD_SYMBOLS, dtype=jnp.int32) * (4 * cl)
+            sym_idx = safe_idx[:, None] + soffs[None, :]
+            symbol_mats[g] = jnp.take(q6, sym_idx, axis=0)
+
+    return {
+        "counts": jnp.stack(counts),
+        "idx": idxs,
+        "bytes": byte_mats,
+        "symbols": symbol_mats,
+    }
+
+
+def run_window(
+    spec: FrontendSpec, iq: np.ndarray, first: bool
+) -> Dict[str, object]:
+    """Convenience host wrapper returning NumPy results."""
+    out = decode_window(spec, jnp.asarray(iq, dtype=jnp.uint8), jnp.asarray(first))
+    return jax.tree_util.tree_map(np.asarray, out)
