@@ -1,0 +1,232 @@
+"""rtlamr CLI — receiver lifecycle and the streaming loop.
+
+Mirrors the reference's orchestration (main.go:59-368): flag handling and
+env override, receiver construction, tuner configuration over rtl_tcp,
+filter-chain assembly, the steady-state decode loop with cross-block dedup,
+-single one-shot behavior, -duration time limit, and -samplefile dumping.
+The three-goroutine pipeline becomes: read a chunk -> feed the window
+decoder (device program) -> encode filtered, deduped messages.
+"""
+
+from __future__ import annotations
+
+import datetime
+import os
+import sys
+import time
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+from .. import __version__
+from ..decoder.pipeline import WindowDecoder
+from ..io.capture import (
+    ArraySource,
+    FileSource,
+    IQSource,
+    RtlTcpSource,
+    SampleDumper,
+    StdinSource,
+)
+from ..io.rtltcp import RtlTcpClient
+from ..protocols import new_parser
+from .encoders import LogMessage, make_encoder
+from .filters import FilterChain, MeterIDFilter, MeterTypeFilter, UniqueFilter
+from .flags import VALID_SYMBOL_LENGTHS, FlagSet, build_flagset
+
+
+def _log(*args) -> None:
+    print(*args, file=sys.stderr)
+
+
+def expand_msgtypes(msgtypes: set) -> List[str]:
+    """"all" alone expands to scm, scm+, idm, r900 (main.go:67-73)."""
+    if msgtypes == {"all"}:
+        return ["scm", "scm+", "idm", "r900"]
+    return sorted(msgtypes)
+
+
+class Receiver:
+    """Receiver lifecycle (main.go:49-133) for live and offline sources."""
+
+    def __init__(self, fs: FlagSet):
+        self.fs = fs
+        chip_length = fs.value("symbollength")
+
+        names = expand_msgtypes(fs.value("msgtype"))
+        self.parsers = []
+        for name in names:
+            try:
+                self.parsers.append(new_parser(name, chip_length))
+            except ValueError as e:
+                _log("message type error:", e)
+                raise SystemExit(1)
+
+        # Filter chain in the reference's flag.Visit order (main.go:97-114:
+        # lexicographic — filterid, filtertype, unique).
+        self.fc = FilterChain()
+        if fs["filterid"].set_explicitly:
+            self.fc.append(MeterIDFilter(fs.value("filterid")))
+        if fs["filtertype"].set_explicitly:
+            self.fc.append(MeterTypeFilter(fs.value("filtertype")))
+        if fs.value("unique"):
+            self.fc.append(UniqueFilter())
+
+        decoder_cls = WindowDecoder
+        kwargs = {}
+        if fs.value("mesh"):
+            from ..parallel.mesh import MeshDecoder
+
+            decoder_cls = MeshDecoder
+        self.decoder = decoder_cls(
+            self.parsers,
+            window_blocks=fs.value("windowblocks"),
+            max_hits=fs.value("maxhits"),
+            filter_fn=self.fc.match,
+            **kwargs,
+        )
+        self.cfg = self.decoder.cfg
+        self.client: Optional[RtlTcpClient] = None
+
+    def open_source(self) -> IQSource:
+        fs = self.fs
+        fromfile = fs.value("fromfile")
+        if fromfile:
+            if fromfile == "-":
+                return StdinSource()
+            return FileSource(fromfile)
+
+        cfg = self.cfg
+        client = RtlTcpClient(fs.value("server"))
+        info = client.connect()
+        self.client = client
+
+        center_freq = (
+            fs.value("centerfreq")
+            if fs["centerfreq"].set_explicitly
+            else cfg.center_freq
+        )
+        sample_rate = (
+            fs.value("samplerate")
+            if fs["samplerate"].set_explicitly
+            else cfg.sample_rate
+        )
+        client.set_center_freq(center_freq)
+        client.set_sample_rate(sample_rate)
+
+        gain_flags = ("gainbyindex", "tunergainmode", "tunergain", "agcmode")
+        gain_set = any(self.fs[g].set_explicitly for g in gain_flags)
+        if not gain_set:
+            client.set_gain_mode(manual=False)  # auto gain (main.go:119-121)
+        else:
+            if fs["tunergainmode"].set_explicitly:
+                client.set_gain_mode(manual=fs.value("tunergainmode"))
+            if fs["tunergain"].set_explicitly:
+                client.set_tuner_gain(fs.value("tunergain") * 10)
+            if fs["gainbyindex"].set_explicitly:
+                client.set_gain_by_index(fs.value("gainbyindex"))
+            if fs["agcmode"].set_explicitly:
+                client.set_agc_mode(fs.value("agcmode"))
+        if fs["freqcorrection"].set_explicitly:
+            client.set_freq_correction(fs.value("freqcorrection"))
+
+        _log(self.cfg.describe())
+        _log(f"rtl_tcp GainCount: {info.gain_count}")
+        return RtlTcpSource(client)
+
+
+def run(fs: FlagSet, out=sys.stdout) -> int:
+    receiver = Receiver(fs)
+    dumper = SampleDumper(fs.value("samplefile"))
+    encoder = make_encoder(fs.value("format"), out, fs.value("samplefile"))
+
+    # -single bookkeeping (main.go:270-276): with -filterid, wait for one
+    # message from each listed meter.
+    single = fs.value("single")
+    waiting_ids = set(fs.value("filterid")) if single else set()
+
+    duration = fs.value("duration")
+    deadline = time.monotonic() + duration if duration > 0 else None
+
+    source = receiver.open_source()
+    dec = receiver.decoder
+    chunk_bytes = max(dec.cfg.block_size2, 1 << 18)
+    stop = False
+    try:
+        while not stop:
+            if deadline is not None and time.monotonic() >= deadline:
+                _log("time limit reached")
+                break
+            try:
+                chunk = source.read(chunk_bytes)
+            except (EOFError, OSError) as e:
+                # A stalled or closed stream cancels the receiver, like the
+                # reference's read-deadline error path (main.go:168-181).
+                _log(f"source read: {e}")
+                chunk = np.zeros(0, np.uint8)
+            if chunk.size == 0:
+                msgs = dec.flush()
+            else:
+                msgs = dec.feed(chunk)
+            pkt_found = False
+            for _block, msg in msgs:
+                log_msg = LogMessage(
+                    time=datetime.datetime.now(),
+                    offset=dumper.offset(),
+                    length=chunk.size,
+                    msg=msg,
+                )
+                encoder.encode(log_msg)
+                pkt_found = True
+                if single:
+                    if not waiting_ids:
+                        stop = True
+                        break
+                    waiting_ids.discard(msg.meter_id())
+            if pkt_found:
+                if dumper.active:
+                    dumper.write(chunk)
+                if single and not waiting_ids:
+                    _log("single: received messages from all meters")
+                    stop = True
+            if chunk.size == 0:
+                break
+    except KeyboardInterrupt:
+        _log("interrupted")
+    finally:
+        source.close()
+        dumper.close()
+    return 0
+
+
+def main(argv: Optional[Sequence[str]] = None) -> int:
+    fs = build_flagset()
+    fs.parse(list(sys.argv[1:] if argv is None else argv))
+    fs.env_override(log=_log)
+
+    if fs.value("version"):
+        print(f"rtlamr_tpu {__version__}")
+        return 0
+
+    sym = fs.value("symbollength")
+    if sym not in VALID_SYMBOL_LENGTHS:
+        # The whitelist exists for librtlsdr sample-rate bands
+        # (misc/modes.go:14-31); offline decode has no such constraint.
+        if not fs.value("fromfile"):
+            _log("invalid symbollength")
+            return 1
+        _log(
+            f"symbollength {sym} outside the rtl-sdr whitelist "
+            f"{VALID_SYMBOL_LENGTHS}; allowed for -fromfile decode"
+        )
+
+    fmt = fs.value("format").lower()
+    if fmt not in ("plain", "csv", "json", "xml"):
+        _log(f"invalid format: {fmt}")
+        return 1
+
+    return run(fs)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

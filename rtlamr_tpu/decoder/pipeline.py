@@ -51,12 +51,16 @@ class WindowDecoder:
     def __init__(
         self,
         parsers: Sequence[Parser],
-        window_blocks: int = 64,
+        window_blocks: Optional[int] = 64,
         max_hits: int = 256,
         filter_fn: Optional[FilterFn] = None,
     ):
         self.parsers = list(parsers)
         self.cfg: DecoderConfig = build_decoder_config(self.parsers)
+        if window_blocks is None:
+            # Minimum window that covers the halo (required by the mesh path).
+            halo = self.cfg.packet_length + self.cfg.symbol_length
+            window_blocks = -(-halo // self.cfg.block_size)
         self.spec: FrontendSpec = make_frontend_spec(
             self.cfg, window_blocks, max_hits
         )

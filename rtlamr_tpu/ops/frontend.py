@@ -127,9 +127,11 @@ def _cumsum0(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([jnp.zeros(1, jnp.int32), jnp.cumsum(x)])
 
 
-@functools.partial(jax.jit, static_argnums=(0,))
-def decode_window(spec: FrontendSpec, iq: jnp.ndarray, first: jnp.ndarray):
-    """Decode one window of IQ samples.
+def decode_core(spec: FrontendSpec, iq: jnp.ndarray, first: jnp.ndarray):
+    """Traceable decode of one window of IQ samples.
+
+    Called under jit directly (single chip) or inside shard_map per shard
+    (parallel/mesh.py), where ``iq`` is the shard's halo + local window.
 
     Args:
       spec: static window program configuration.
@@ -239,6 +241,12 @@ def decode_window(spec: FrontendSpec, iq: jnp.ndarray, first: jnp.ndarray):
         "bytes": byte_mats,
         "symbols": symbol_mats,
     }
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def decode_window(spec: FrontendSpec, iq: jnp.ndarray, first: jnp.ndarray):
+    """Jitted single-chip window decode (see :func:`decode_core`)."""
+    return decode_core(spec, iq, first)
 
 
 def run_window(

@@ -1,0 +1,242 @@
+"""CLI end-to-end tests: flag surface, env override, encoders, filters,
+-single, and the rtl_tcp live path against a fake server (the reference has
+no such harness; SURVEY.md §4 notes the TCP seam makes one trivial)."""
+
+import io
+import json
+import os
+import socket
+import struct
+import threading
+
+import numpy as np
+import pytest
+
+from rtlamr_tpu.cli.flags import build_flagset, parse_duration
+from rtlamr_tpu.cli.main import main, run
+from rtlamr_tpu.ref import synth
+
+GOLDEN_ARGS = ["-msgtype=scm", "-symbollength=78", "-windowblocks=16"]
+
+
+def run_cli(argv, monkeypatch=None):
+    """Run the CLI in-process, capturing stdout."""
+    import rtlamr_tpu.cli.main as climain
+
+    out = io.StringIO()
+    fs = build_flagset()
+    fs.parse(argv)
+    fs.env_override(log=lambda *a: None)
+    rc = run(fs, out=out)
+    return rc, out.getvalue()
+
+
+@pytest.fixture(scope="module")
+def sample_path():
+    import pathlib
+
+    return str(pathlib.Path(__file__).parent / "fixtures" / "sample.bin")
+
+
+def test_plain_golden(sample_path):
+    rc, out = run_cli(GOLDEN_ARGS + [f"-fromfile={sample_path}"])
+    assert rc == 0
+    lines = out.strip().splitlines()
+    assert len(lines) == 14
+    assert "{ID:17580293 Type: 8" in lines[0]
+    assert lines[0].startswith("{Time:")
+    assert "Offset" not in lines[0]  # plain w/o samplefile (flags.go:266)
+
+
+def test_json_format(sample_path):
+    rc, out = run_cli(GOLDEN_ARGS + ["-format=json", f"-fromfile={sample_path}"])
+    lines = out.strip().splitlines()
+    assert len(lines) == 14
+    rec = json.loads(lines[0])
+    assert rec["Type"] == "SCM"
+    assert rec["Message"]["ID"] == 17580293
+    assert rec["Message"]["Consumption"] == 111414
+    assert set(rec) == {"Time", "Offset", "Length", "Type", "Message"}
+
+
+def test_csv_format(sample_path):
+    rc, out = run_cli(GOLDEN_ARGS + ["-format=csv", f"-fromfile={sample_path}"])
+    lines = out.strip().splitlines()
+    assert len(lines) == 14
+    fields = lines[0].split(",")
+    # time, offset, length, ID, Type, TamperPhy, TamperEnc, Consumption, CRC
+    assert fields[3] == "17580293"
+    assert fields[7] == "111414"
+
+
+def test_xml_format(sample_path):
+    rc, out = run_cli(GOLDEN_ARGS + ["-format=xml", f"-fromfile={sample_path}"])
+    lines = out.strip().splitlines()
+    assert len(lines) == 14
+    assert lines[0].startswith("<LogMessage ")
+    assert 'Type="SCM"' in lines[0]
+    assert 'ID="17580293"' in lines[0]
+
+
+def test_filterid(sample_path):
+    rc, out = run_cli(
+        GOLDEN_ARGS + ["-filterid=17580293", f"-fromfile={sample_path}"]
+    )
+    lines = out.strip().splitlines()
+    assert len(lines) == 1
+    assert "17580293" in lines[0]
+
+
+def test_filtertype_no_match(sample_path):
+    rc, out = run_cli(
+        GOLDEN_ARGS + ["-filtertype=12", f"-fromfile={sample_path}"]
+    )
+    assert out.strip() == ""
+
+
+def test_single(sample_path):
+    rc, out = run_cli(GOLDEN_ARGS + ["-single", f"-fromfile={sample_path}"])
+    lines = out.strip().splitlines()
+    assert len(lines) == 1
+
+
+def test_single_with_filterid(sample_path):
+    rc, out = run_cli(
+        GOLDEN_ARGS
+        + ["-single", "-filterid=17580293,17578504", f"-fromfile={sample_path}"]
+    )
+    lines = out.strip().splitlines()
+    # stops once both meters reported
+    assert len(lines) == 2
+
+
+def test_version(capsys):
+    assert main(["-version"]) == 0
+    assert "rtlamr_tpu" in capsys.readouterr().out
+
+
+def test_invalid_symbollength_live():
+    assert main(["-symbollength=77"]) == 1
+
+
+def test_invalid_format():
+    assert main(["-format=yaml", "-fromfile=x"]) == 1
+
+
+def test_unknown_flag():
+    with pytest.raises(SystemExit):
+        build_flagset().parse(["-bogus=1"])
+
+
+def test_env_override(monkeypatch, sample_path):
+    monkeypatch.setenv("RTLAMR_FILTERID", "17580293")
+    rc, out = run_cli(GOLDEN_ARGS + [f"-fromfile={sample_path}"])
+    lines = out.strip().splitlines()
+    assert len(lines) == 1
+
+
+def test_env_no_override_when_set(monkeypatch, sample_path):
+    monkeypatch.setenv("RTLAMR_FILTERID", "999999")
+    rc, out = run_cli(
+        GOLDEN_ARGS + ["-filterid=17580293", f"-fromfile={sample_path}"]
+    )
+    assert len(out.strip().splitlines()) == 1
+
+
+def test_parse_duration():
+    assert parse_duration("1h5m10s") == 3910.0
+    assert parse_duration("0") == 0.0
+    assert parse_duration("250ms") == 0.25
+    with pytest.raises(ValueError):
+        parse_duration("5 parsecs")
+
+
+def test_samplefile_dump(tmp_path, sample_path):
+    dump = tmp_path / "dump.bin"
+    rc, out = run_cli(
+        GOLDEN_ARGS + [f"-fromfile={sample_path}", f"-samplefile={dump}"]
+    )
+    lines = out.strip().splitlines()
+    assert len(lines) == 14
+    assert "Offset:" in lines[0]  # plain WITH samplefile includes offsets
+    assert dump.stat().st_size > 0
+
+
+# ---------------------------------------------------------------------------
+# Fake rtl_tcp server
+
+
+class FakeRtlTcp(threading.Thread):
+    def __init__(self, iq_bytes: np.ndarray):
+        super().__init__(daemon=True)
+        self.iq = np.asarray(iq_bytes, np.uint8).tobytes()
+        self.sock = socket.socket()
+        self.sock.bind(("127.0.0.1", 0))
+        self.sock.listen(1)
+        self.port = self.sock.getsockname()[1]
+        self.commands = []
+
+    def run(self):
+        conn, _ = self.sock.accept()
+        conn.sendall(b"RTL0" + struct.pack(">II", 5, 29))  # R820T, 29 gains
+        conn.settimeout(0.2)
+        pos = 0
+        try:
+            while pos < len(self.iq):
+                try:
+                    cmd = conn.recv(5)
+                    while len(cmd) >= 5:
+                        self.commands.append(struct.unpack(">BI", cmd[:5]))
+                        cmd = cmd[5:]
+                except socket.timeout:
+                    pass
+                end = min(pos + 65536, len(self.iq))
+                conn.sendall(self.iq[pos:end])
+                pos = end
+            # linger so the client hits its -duration or EOF
+            import time as _t
+
+            _t.sleep(1.0)
+        except (BrokenPipeError, ConnectionResetError):
+            pass
+        finally:
+            conn.close()
+            self.sock.close()
+
+
+def test_live_rtltcp_roundtrip():
+    """Full live path: connect, tune, stream, decode, -duration exit."""
+    bits = synth.make_scm_bits(meter_id=31415926, consumption=123)
+    from rtlamr_tpu.protocols import new_parser
+    from rtlamr_tpu.protocols.base import build_decoder_config
+
+    cfg = build_decoder_config([new_parser("scm", 72)])
+    iq = synth.render_iq(
+        cfg.block_size * 40,
+        [synth.bits_to_burst(bits, cfg.block_size * 3)],
+        72,
+        noise=2.0,
+        seed=5,
+    )
+    server = FakeRtlTcp(iq)
+    server.start()
+    rc, out = run_cli(
+        [
+            "-msgtype=scm",
+            "-windowblocks=16",
+            f"-server=127.0.0.1:{server.port}",
+            "-duration=3s",
+            "-format=json",
+        ]
+    )
+    lines = out.strip().splitlines()
+    assert len(lines) >= 1
+    rec = json.loads(lines[0])
+    assert rec["Message"]["ID"] == 31415926
+    assert rec["Message"]["Consumption"] == 123
+    server.join(timeout=5)
+    # Tuner was configured: center freq + sample rate + auto gain
+    cmds = dict((c, a) for c, a in server.commands)
+    assert cmds.get(0x01) == 912600155  # scm center freq
+    assert cmds.get(0x02) == 32768 * 72  # derived sample rate
+    assert 0x03 in cmds  # gain mode set (auto)
