@@ -249,9 +249,84 @@ def decode_window(spec: FrontendSpec, iq: jnp.ndarray, first: jnp.ndarray):
     return decode_core(spec, iq, first)
 
 
+# ---------------------------------------------------------------------------
+# Result packing: device->host transfers have per-array latency (severe over
+# remote-relay transports), so the device flattens all outputs into ONE u8
+# buffer and the host unpacks views.
+
+
+def result_layout(spec: FrontendSpec) -> List[Tuple[str, int, int]]:
+    """(name, byte_offset, byte_size) entries of the packed result buffer."""
+    k = spec.max_hits
+    layout = []
+    off = 0
+
+    def add(name, size):
+        nonlocal off
+        layout.append((name, off, size))
+        off += size
+
+    add("counts", 4 * len(spec.groups))
+    for g, group in enumerate(spec.groups):
+        add(f"idx{g}", 4 * k)
+    for g, group in enumerate(spec.groups):
+        nbytes = (group.packet_symbols + 7) >> 3
+        add(f"bytes{g}", k * nbytes)
+    for g, group in enumerate(spec.groups):
+        if group.wants_r900:
+            add(f"symbols{g}", k * PAYLOAD_SYMBOLS)
+    add("_total", 0)
+    return layout
+
+
+def _as_u8(x: jnp.ndarray) -> jnp.ndarray:
+    if x.dtype == jnp.uint8:
+        return x.reshape(-1)
+    assert x.dtype == jnp.int32
+    return jax.lax.bitcast_convert_type(x, jnp.uint8).reshape(-1)
+
+
+def pack_results(res: Dict[str, object]) -> jnp.ndarray:
+    """Flatten a decode_core result dict into one uint8 buffer (traceable)."""
+    parts = [_as_u8(res["counts"])]
+    parts += [_as_u8(x) for x in res["idx"]]
+    parts += [_as_u8(x) for x in res["bytes"]]
+    parts += [_as_u8(res["symbols"][g]) for g in sorted(res["symbols"])]
+    return jnp.concatenate(parts)
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def decode_window_packed(spec: FrontendSpec, iq: jnp.ndarray, first: jnp.ndarray):
+    """decode_core with all outputs flattened into one uint8 buffer."""
+    return pack_results(decode_core(spec, iq, first))
+
+
+def unpack_results(spec: FrontendSpec, buf: np.ndarray) -> Dict[str, object]:
+    """Host-side unpack of the single result buffer into the dict layout."""
+    buf = np.asarray(buf, np.uint8)
+    k = spec.max_hits
+    out: Dict[str, object] = {"idx": [], "bytes": [], "symbols": {}}
+    for name, off, size in result_layout(spec):
+        view = buf[off : off + size]
+        if name == "counts":
+            out["counts"] = view.view(np.int32)
+        elif name.startswith("idx"):
+            out["idx"].append(view.view(np.int32))
+        elif name.startswith("bytes"):
+            g = len(out["bytes"])
+            nbytes = (spec.groups[g].packet_symbols + 7) >> 3
+            out["bytes"].append(view.reshape(k, nbytes))
+        elif name.startswith("symbols"):
+            g = int(name[len("symbols") :])
+            out["symbols"][g] = view.reshape(k, PAYLOAD_SYMBOLS)
+    return out
+
+
 def run_window(
     spec: FrontendSpec, iq: np.ndarray, first: bool
 ) -> Dict[str, object]:
-    """Convenience host wrapper returning NumPy results."""
-    out = decode_window(spec, jnp.asarray(iq, dtype=jnp.uint8), jnp.asarray(first))
-    return jax.tree_util.tree_map(np.asarray, out)
+    """Host wrapper: single packed transfer, NumPy results."""
+    buf = decode_window_packed(
+        spec, jnp.asarray(iq, dtype=jnp.uint8), jnp.asarray(first)
+    )
+    return unpack_results(spec, np.asarray(buf))

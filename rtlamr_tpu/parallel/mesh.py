@@ -32,7 +32,13 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..ops.frontend import FrontendSpec, decode_core, make_frontend_spec
+from ..ops.frontend import (
+    FrontendSpec,
+    decode_core,
+    make_frontend_spec,
+    pack_results,
+    unpack_results,
+)
 from ..protocols.base import Message, Parser
 from ..decoder.pipeline import WindowDecoder
 
@@ -58,7 +64,8 @@ def _shard_body(
     left = jnp.where(my == 0, carry, left)
     shard_first = jnp.logical_and(first, my == 0)
     out = decode_core(spec, jnp.concatenate([left, iq]), shard_first)
-    return jax.tree_util.tree_map(lambda x: x[None], out)
+    # One packed buffer per shard: a single gather/transfer to host.
+    return pack_results(out)[None]
 
 
 @functools.partial(jax.jit, static_argnums=(0, 1, 2))
@@ -119,15 +126,16 @@ class MeshDecoder(WindowDecoder):
         w2 = 2 * spec.window
         iq_shards = np.asarray(super_bytes, np.uint8).reshape(n, w2)
         iq_dev = jax.device_put(iq_shards, self._sharding)
-        res = _decode_superwindow(
-            spec,
-            self.mesh,
-            n,
-            iq_dev,
-            jnp.asarray(self._carry),
-            jnp.asarray(self._first),
+        packed = np.asarray(
+            _decode_superwindow(
+                spec,
+                self.mesh,
+                n,
+                iq_dev,
+                jnp.asarray(self._carry),
+                jnp.asarray(self._first),
+            )
         )
-        res = jax.tree_util.tree_map(np.asarray, res)
 
         wb_blocks = spec.window // spec.block_size
         total_valid = (
@@ -135,7 +143,7 @@ class MeshDecoder(WindowDecoder):
         )
         msgs: List[Tuple[int, Message]] = []
         for shard in range(n):
-            shard_res = jax.tree_util.tree_map(lambda x: x[shard], res)
+            shard_res = unpack_results(spec, packed[shard])
             shard_valid = min(
                 max(total_valid - shard * wb_blocks, 0), wb_blocks
             )
