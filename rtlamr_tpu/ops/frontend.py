@@ -72,6 +72,8 @@ class FrontendSpec:
     max_hits: int  # K: compacted hit capacity per group per window
     groups: Tuple[GroupSpec, ...]
     wants_r900: bool
+    #: "jnp" (pure XLA) or "pallas" (fused stencil kernel for bits/q6)
+    backend: str = "jnp"
 
     @property
     def halo(self) -> int:
@@ -83,7 +85,10 @@ class FrontendSpec:
 
 
 def make_frontend_spec(
-    cfg: DecoderConfig, window_blocks: int, max_hits: int = 256
+    cfg: DecoderConfig,
+    window_blocks: int,
+    max_hits: int = 256,
+    backend: str = "jnp",
 ) -> FrontendSpec:
     groups = []
     wants_any = False
@@ -108,6 +113,7 @@ def make_frontend_spec(
         max_hits=max_hits,
         groups=tuple(groups),
         wants_r900=wants_any,
+        backend=backend,
     )
 
 
@@ -147,12 +153,30 @@ def decode_core(spec: FrontendSpec, iq: jnp.ndarray, first: jnp.ndarray):
       bytes[g]:  (K, ceil(S_g/8)) uint8 MSB-first packed packet symbols
       symbols[g] (R900 groups only): (K, 42) uint8 4-ary payload symbols
     """
+    bits, q6 = bits_q6(spec, iq, first)
+    return search_slice(spec, bits, q6)
+
+
+def bits_q6(spec: FrontendSpec, iq: jnp.ndarray, first: jnp.ndarray):
+    """Stencil stage: magnitude -> matched filters -> quantized streams.
+
+    Returns (bits, q6): bits is the window's slice of the padded bit stream
+    P (length window + PacketLength - SymbolLength); q6 is the R900 6-ary
+    stream on the same index convention (or None).
+    """
+    if spec.backend == "pallas":
+        from .pallas_frontend import bits_q6_pallas
+
+        return bits_q6_pallas(spec, iq, first)
+    return bits_q6_jnp(spec, iq, first)
+
+
+def bits_q6_jnp(spec: FrontendSpec, iq: jnp.ndarray, first: jnp.ndarray):
     cl = spec.chip_length
     sl = spec.symbol_length
     pl = spec.packet_length
     w = spec.window
     halo = spec.halo
-    k_cap = spec.max_hits
 
     mag = _magnitude(iq)  # (halo + w,) int32
     # First window: reference history buffers start zeroed (decode.go:144).
@@ -191,6 +215,15 @@ def decode_core(spec: FrontendSpec, iq: jnp.ndarray, first: jnp.ndarray):
             jnp.stack([a0, a1, a2]), argmax[None, :], axis=0
         )[0]
         q6 = (argmax + jnp.where(chosen > 0, 3, 0)).astype(jnp.uint8)
+    return bits, q6
+
+
+def search_slice(spec: FrontendSpec, bits: jnp.ndarray, q6):
+    """Correlation, compaction and slicing over the quantized streams."""
+    cl = spec.chip_length
+    sl = spec.symbol_length
+    w = spec.window
+    k_cap = spec.max_hits
 
     counts: List[jnp.ndarray] = []
     idxs: List[jnp.ndarray] = []
