@@ -260,6 +260,27 @@ def build_flagset() -> FlagSet:
         "shard the time axis across all visible devices",
         kind="bool",
     )
+    fs.add(
+        "backend",
+        "jnp",
+        "device compute backend: jnp (XLA) or pallas (fused kernel)",
+    )
+    fs.add(
+        "profiledir",
+        "",
+        "write a jax profiler trace of the decode loop to this directory",
+    )
+    fs.add(
+        "checkpoint",
+        "",
+        "stream checkpoint path: resume from it if present, save on exit",
+    )
+    fs.add(
+        "metrics",
+        False,
+        "print a metrics snapshot to stderr on exit",
+        kind="bool",
+    )
     # rtl_tcp flags (contributed by the rtltcp package in the reference,
     # main.go:320)
     fs.add("server", "127.0.0.1:1234", "address or hostname of rtl_tcp instance", rtlamr=False)

@@ -83,6 +83,7 @@ class Receiver:
             window_blocks=fs.value("windowblocks"),
             max_hits=fs.value("maxhits"),
             filter_fn=self.fc.match,
+            backend=fs.value("backend"),
             **kwargs,
         )
         self.cfg = self.decoder.cfg
@@ -136,6 +137,8 @@ class Receiver:
 
 
 def run(fs: FlagSet, out=sys.stdout) -> int:
+    from ..utils.observability import RateWatchdog, profile_trace
+
     receiver = Receiver(fs)
     dumper = SampleDumper(fs.value("samplefile"))
     encoder = make_encoder(fs.value("format"), out, fs.value("samplefile"))
@@ -150,50 +153,90 @@ def run(fs: FlagSet, out=sys.stdout) -> int:
 
     source = receiver.open_source()
     dec = receiver.decoder
+    live = not fs.value("fromfile")
+    watchdog = RateWatchdog(dec.cfg.sample_rate, warn=_log) if live else None
+
+    ckpt_path = fs.value("checkpoint")
+    consumed = 0
+    if ckpt_path:
+        from ..decoder.checkpoint import Checkpoint, restore_checkpoint
+        import os as _os
+
+        if _os.path.exists(ckpt_path + ".meta.json"):
+            ckpt = Checkpoint.load(ckpt_path)
+            restore_checkpoint(dec, ckpt)
+            consumed = ckpt.byte_offset
+            if not live:
+                # Skip already-decoded capture bytes.
+                skipped = 0
+                while skipped < consumed:
+                    part = source.read(min(1 << 20, consumed - skipped))
+                    if part.size == 0:
+                        break
+                    skipped += part.size
+            _log(f"resumed from checkpoint at byte {consumed}")
+
     chunk_bytes = max(dec.cfg.block_size2, 1 << 18)
     stop = False
+    eof = False
     try:
-        while not stop:
-            if deadline is not None and time.monotonic() >= deadline:
-                _log("time limit reached")
-                break
-            try:
-                chunk = source.read(chunk_bytes)
-            except (EOFError, OSError) as e:
-                # A stalled or closed stream cancels the receiver, like the
-                # reference's read-deadline error path (main.go:168-181).
-                _log(f"source read: {e}")
-                chunk = np.zeros(0, np.uint8)
-            if chunk.size == 0:
-                msgs = dec.flush()
-            else:
-                msgs = dec.feed(chunk)
-            pkt_found = False
-            for _block, msg in msgs:
-                log_msg = LogMessage(
-                    time=datetime.datetime.now(),
-                    offset=dumper.offset(),
-                    length=chunk.size,
-                    msg=msg,
-                )
-                encoder.encode(log_msg)
-                pkt_found = True
-                if single:
-                    if not waiting_ids:
+        with profile_trace(fs.value("profiledir") or None):
+            while not stop:
+                if deadline is not None and time.monotonic() >= deadline:
+                    _log("time limit reached")
+                    break
+                try:
+                    chunk = source.read(chunk_bytes)
+                except (EOFError, OSError) as e:
+                    # A stalled or closed stream cancels the receiver, like
+                    # the reference's read-deadline path (main.go:168-181).
+                    _log(f"source read: {e}")
+                    chunk = np.zeros(0, np.uint8)
+                if watchdog is not None:
+                    watchdog.add_bytes(chunk.size)
+                if chunk.size == 0:
+                    eof = True
+                    msgs = dec.flush()
+                else:
+                    msgs = dec.feed(chunk)
+                    consumed += chunk.size
+                pkt_found = False
+                for _block, msg in msgs:
+                    log_msg = LogMessage(
+                        time=datetime.datetime.now(),
+                        offset=dumper.offset(),
+                        length=chunk.size,
+                        msg=msg,
+                    )
+                    encoder.encode(log_msg)
+                    pkt_found = True
+                    if single:
+                        if not waiting_ids:
+                            stop = True
+                            break
+                        waiting_ids.discard(msg.meter_id())
+                if pkt_found:
+                    if dumper.active:
+                        dumper.write(chunk)
+                    if single and not waiting_ids:
+                        _log("single: received messages from all meters")
                         stop = True
-                        break
-                    waiting_ids.discard(msg.meter_id())
-            if pkt_found:
-                if dumper.active:
-                    dumper.write(chunk)
-                if single and not waiting_ids:
-                    _log("single: received messages from all meters")
-                    stop = True
-            if chunk.size == 0:
-                break
+                if chunk.size == 0:
+                    break
     except KeyboardInterrupt:
         _log("interrupted")
     finally:
+        if ckpt_path and not eof:  # a flushed (complete) decode needs none
+            from ..decoder.checkpoint import capture_checkpoint
+
+            # Checkpoint at the last window boundary (pending bytes are
+            # re-read on resume).
+            boundary = consumed - int(dec._pending.size)
+            dec._pending = np.zeros(0, np.uint8)
+            capture_checkpoint(dec, boundary).save(ckpt_path)
+            _log(f"checkpoint saved at byte {boundary}")
+        if fs.value("metrics"):
+            _log("metrics:", dec.metrics.snapshot())
         source.close()
         dumper.close()
     return 0

@@ -19,6 +19,7 @@ from typing import Callable, Dict, List, Optional, Sequence, Tuple
 import numpy as np
 
 from ..ops.frontend import FrontendSpec, make_frontend_spec, run_window
+from ..utils.observability import Metrics
 from ..protocols.base import (
     Candidate,
     DecoderConfig,
@@ -54,6 +55,7 @@ class WindowDecoder:
         window_blocks: Optional[int] = 64,
         max_hits: int = 256,
         filter_fn: Optional[FilterFn] = None,
+        backend: str = "jnp",
     ):
         self.parsers = list(parsers)
         self.cfg: DecoderConfig = build_decoder_config(self.parsers)
@@ -62,9 +64,10 @@ class WindowDecoder:
             halo = self.cfg.packet_length + self.cfg.symbol_length
             window_blocks = -(-halo // self.cfg.block_size)
         self.spec: FrontendSpec = make_frontend_spec(
-            self.cfg, window_blocks, max_hits
+            self.cfg, window_blocks, max_hits, backend=backend
         )
         self.filter_fn = filter_fn
+        self.metrics = Metrics()
         # Group index -> parsers, aligned with spec.groups order.
         self._group_parsers = [
             self.cfg.preamble_groups[g.preamble] for g in self.spec.groups
@@ -135,8 +138,11 @@ class WindowDecoder:
         iq_full = np.concatenate([self._carry, window_bytes])
         res = run_window(spec, iq_full, self._first)
         if int(np.max(res["counts"])) > spec.max_hits:
+            self.metrics.hit_overflows += 1
             res = self._window_results_numpy(iq_full, self._first)
         msgs = self._parse_window(res, valid_blocks)
+        self.metrics.windows_decoded += 1
+        self.metrics.samples_in += spec.window
         self._carry = iq_full[-2 * spec.halo :].copy()
         self._first = False
         self._window_index += 1
@@ -190,11 +196,14 @@ class WindowDecoder:
                 for parser in parsers:
                     for msg in parser.parse(cands):
                         if self.filter_fn is not None and not self.filter_fn(msg):
+                            self.metrics.messages_dropped_filter += 1
                             continue
                         if self._dedup_enabled and not self._deduper.check(
                             mk_digest(msg)
                         ):
+                            self.metrics.messages_dropped_dup += 1
                             continue
+                        self.metrics.messages_out += 1
                         out.append((global_block, msg))
             self._deduper.end_block()
             self._last_block = global_block

@@ -92,9 +92,10 @@ class MeshDecoder(WindowDecoder):
         self,
         parsers: Sequence[Parser],
         devices: Optional[Sequence] = None,
-        window_blocks: int = 64,
+        window_blocks: Optional[int] = 64,
         max_hits: int = 256,
         filter_fn=None,
+        backend: str = "jnp",
     ):
         devices = list(devices if devices is not None else jax.devices())
         self.mesh = Mesh(np.array(devices), ("x",))
@@ -104,6 +105,7 @@ class MeshDecoder(WindowDecoder):
             window_blocks=window_blocks,
             max_hits=max_hits,
             filter_fn=filter_fn,
+            backend=backend,
         )
         if self.spec.window < self.spec.halo:
             raise ValueError(
@@ -150,6 +152,7 @@ class MeshDecoder(WindowDecoder):
             if shard_valid == 0:
                 break
             if int(np.max(shard_res["counts"])) > spec.max_hits:
+                self.metrics.hit_overflows += 1
                 iq_full = np.concatenate(
                     [
                         self._carry
@@ -163,6 +166,8 @@ class MeshDecoder(WindowDecoder):
                 )
             msgs.extend(self._parse_window(shard_res, shard_valid))
             self._window_index += 1
+            self.metrics.windows_decoded += 1
+            self.metrics.samples_in += spec.window
         self._carry = iq_shards[-1, -2 * spec.halo :].copy()
         self._first = False
         return msgs
