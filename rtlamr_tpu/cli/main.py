@@ -229,8 +229,18 @@ def run(fs: FlagSet, out=sys.stdout) -> int:
         if ckpt_path and not eof:  # a flushed (complete) decode needs none
             from ..decoder.checkpoint import capture_checkpoint
 
-            # Checkpoint at the last window boundary (pending bytes are
+            # Emit anything still in the dispatch-ahead pipeline, then
+            # checkpoint at the last window boundary (pending bytes are
             # re-read on resume).
+            for _block, msg in dec.drain():
+                encoder.encode(
+                    LogMessage(
+                        time=datetime.datetime.now(),
+                        offset=dumper.offset(),
+                        length=0,
+                        msg=msg,
+                    )
+                )
             boundary = consumed - int(dec._pending.size)
             dec._pending = np.zeros(0, np.uint8)
             capture_checkpoint(dec, boundary).save(ckpt_path)

@@ -72,6 +72,11 @@ def capture_checkpoint(dec: WindowDecoder, byte_offset: int) -> Checkpoint:
             "checkpoint only at window boundaries: "
             f"{dec._pending.size} pending bytes"
         )
+    if dec._inflight is not None:
+        raise ValueError(
+            "checkpoint with an undrained window in flight; call drain() "
+            "and emit its messages first"
+        )
     return Checkpoint(
         byte_offset=byte_offset,
         window_index=dec._window_index,

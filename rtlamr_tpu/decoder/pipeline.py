@@ -18,7 +18,7 @@ from typing import Callable, Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
-from ..ops.frontend import FrontendSpec, make_frontend_spec, run_window
+from ..ops.frontend import FrontendSpec, make_frontend_spec
 from ..utils.observability import Metrics
 from ..protocols.base import (
     Candidate,
@@ -83,6 +83,11 @@ class WindowDecoder:
         self._deduper = BlockDeduper()
         self._last_block = -1
         self._pending = np.zeros(0, np.uint8)
+        #: one-deep dispatch-ahead pipeline: (device buffer, meta) of the
+        #: window whose results have not been fetched yet. Overlaps
+        #: host->device transfer and compute of window i+1 with the
+        #: device->host fetch and host parse of window i.
+        self._inflight = None
 
     @property
     def window_bytes(self) -> int:
@@ -103,16 +108,54 @@ class WindowDecoder:
         return out
 
     def flush(self) -> List[Tuple[int, Message]]:
-        """Decode remaining full blocks (zero-padding the final window)."""
+        """Decode remaining full blocks (zero-padding the final window) and
+        drain the dispatch-ahead pipeline."""
         bs2 = 2 * self.cfg.block_size
         full_blocks = self._pending.size // bs2
-        if full_blocks == 0:
+        out: List[Tuple[int, Message]] = []
+        if full_blocks:
+            valid = self._pending[: full_blocks * bs2]
+            self._pending = self._pending[full_blocks * bs2 :]
+            padded = np.zeros(self.window_bytes, np.uint8)
+            padded[: valid.size] = valid
+            out.extend(self._process_window(padded, valid_blocks=full_blocks))
+        out.extend(self.drain())
+        return out
+
+    def drain(self) -> List[Tuple[int, Message]]:
+        if self._inflight is None:
             return []
-        valid = self._pending[: full_blocks * bs2]
-        self._pending = self._pending[full_blocks * bs2 :]
-        padded = np.zeros(self.window_bytes, np.uint8)
-        padded[: valid.size] = valid
-        return self._process_window(padded, valid_blocks=full_blocks)
+        inflight, self._inflight = self._inflight, None
+        return self._complete_window(*inflight)
+
+    def decode_staged(
+        self, staged: Sequence, drain: bool = True
+    ) -> List[Tuple[int, Message]]:
+        """Decode windows already staged in device memory.
+
+        ``staged[i]`` is a device array of ``2*(halo+window)`` uint8 — a
+        window with its halo prefix (as produced by slicing a device-resident
+        capture at window boundaries). Skips per-window host->device
+        transfers entirely; used for HBM-resident captures and benching.
+        """
+        from ..ops.frontend import decode_window_packed
+
+        spec = self.spec
+        out: List[Tuple[int, Message]] = []
+        for iq_full in staged:
+            buf = decode_window_packed(
+                spec, iq_full, self._first_scalar(self._first)
+            )
+            meta = (iq_full, self._first, None, self._window_index)
+            self._first = False
+            self._window_index += 1
+            if self._inflight is not None:
+                prev, self._inflight = self._inflight, None
+                out.extend(self._complete_window(*prev))
+            self._inflight = (buf, meta)
+        if drain:
+            out.extend(self.drain())
+        return out
 
     def decode_capture(
         self, iq_bytes: np.ndarray, dedup: bool = True
@@ -131,55 +174,123 @@ class WindowDecoder:
 
     # -- internals ----------------------------------------------------------
 
+    _first_cache: Optional[Dict[bool, object]] = None
+
+    def _first_scalar(self, first: bool):
+        """Cached device-resident bool scalars (avoids a tiny host->device
+        transfer per window on high-latency transports)."""
+        if self._first_cache is None:
+            import jax.numpy as jnp
+
+            self._first_cache = {
+                True: jnp.asarray(True),
+                False: jnp.asarray(False),
+            }
+        return self._first_cache[first]
+
     def _process_window(
         self, window_bytes: np.ndarray, valid_blocks: Optional[int] = None
     ) -> List[Tuple[int, Message]]:
+        """Dispatch this window to the device; fetch+parse the previous one.
+
+        Device dispatch is asynchronous, so the previous window's transfer
+        and compute overlap with this call's host work. Results therefore
+        arrive with one-window latency; flush() drains the tail.
+        """
+        import jax.numpy as jnp
+
+        from ..ops.frontend import decode_window_packed
+
         spec = self.spec
         iq_full = np.concatenate([self._carry, window_bytes])
-        res = run_window(spec, iq_full, self._first)
-        if int(np.max(res["counts"])) > spec.max_hits:
-            self.metrics.hit_overflows += 1
-            res = self._window_results_numpy(iq_full, self._first)
-        msgs = self._parse_window(res, valid_blocks)
-        self.metrics.windows_decoded += 1
-        self.metrics.samples_in += spec.window
+        buf = decode_window_packed(
+            spec, jnp.asarray(iq_full), self._first_scalar(self._first)
+        )
+        meta = (iq_full, self._first, valid_blocks, self._window_index)
         self._carry = iq_full[-2 * spec.halo :].copy()
         self._first = False
         self._window_index += 1
+
+        msgs: List[Tuple[int, Message]] = []
+        if self._inflight is not None:
+            prev, self._inflight = self._inflight, None
+            msgs = self._complete_window(*prev)
+        self._inflight = (buf, meta)
+        return msgs
+
+    def _complete_window(self, buf, meta) -> List[Tuple[int, Message]]:
+        from ..ops.frontend import unpack_results
+
+        iq_full, first, valid_blocks, window_index = meta
+        spec = self.spec
+        res = unpack_results(spec, np.asarray(buf))
+        if int(np.max(res["counts"])) > spec.max_hits:
+            self.metrics.hit_overflows += 1
+            res = self._window_results_numpy(np.asarray(iq_full), first)
+        msgs = self._parse_window(res, valid_blocks, window_index)
+        self.metrics.windows_decoded += 1
+        self.metrics.samples_in += spec.window
         return msgs
 
     def _parse_window(
-        self, res: Dict[str, object], valid_blocks: Optional[int]
+        self,
+        res: Dict[str, object],
+        valid_blocks: Optional[int],
+        window_index: int,
     ) -> List[Tuple[int, Message]]:
         spec = self.spec
         bs = spec.block_size
         wb = spec.window // bs
         if valid_blocks is None:
             valid_blocks = wb
-        window_block0 = self._window_index * wb
+        window_block0 = window_index * wb
 
-        # Bucket candidates per (local block, group).
+        # Bucket candidates per (local block, group), pre-collapsing exact
+        # duplicates within a block. Preamble hits form plateaus of many
+        # adjacent positions that slice identical packets; the reference
+        # processes each and dedups via its per-parser seen map
+        # (scm/scm.go:62-74) — collapsing exact duplicates first is
+        # equivalent (first occurrence kept, ascending order preserved) and
+        # turns O(plateau) host work into O(distinct packets). Parsers keep
+        # their own seen maps as the semantic authority.
         by_block: Dict[int, Dict[int, List[Candidate]]] = {}
         for g, gspec in enumerate(spec.groups):
             count = int(res["counts"][g])
             cap = count if res.get("_uncapped") else min(count, spec.max_hits)
             idx = np.asarray(res["idx"][g])[:cap]
-            data = np.asarray(res["bytes"][g])
+            if idx.size == 0:
+                continue
+            data = np.asarray(res["bytes"][g])[:cap]
             syms = (
-                np.asarray(res["symbols"][g]) if g in res["symbols"] else None
+                np.asarray(res["symbols"][g])[:cap]
+                if g in res["symbols"]
+                else None
             )
-            for i, q in enumerate(idx):
-                q = int(q)
-                b = q // bs
-                if b >= valid_blocks:
-                    continue
-                bits = np.unpackbits(data[i])[: gspec.packet_symbols]
-                cand = Candidate(
-                    idx=q - b * bs,
-                    bits=bits,
-                    r900_symbols=syms[i] if syms is not None else None,
+            b_arr = idx // bs
+            keep = b_arr < valid_blocks
+            if not keep.any():
+                continue
+            idx, b_arr, data = idx[keep], b_arr[keep], data[keep]
+            if syms is not None:
+                syms = syms[keep]
+            # Candidates are equivalent for every parser in the group when
+            # their dedup key matches: the 4-ary symbols for R900 groups
+            # (r900/r900.go:209), the packed packet bytes otherwise.
+            key_mat = syms if gspec.wants_r900 else data
+            for b in np.unique(b_arr):
+                sel = np.nonzero(b_arr == b)[0]
+                _, first_pos = np.unique(
+                    key_mat[sel], axis=0, return_index=True
                 )
-                by_block.setdefault(b, {}).setdefault(g, []).append(cand)
+                cands = [
+                    Candidate(
+                        idx=int(idx[sel[i]]) - int(b) * bs,
+                        packed=data[sel[i]],
+                        r900_symbols=syms[sel[i]] if syms is not None else None,
+                    )
+                    for i in sorted(first_pos)
+                ]
+                by_block.setdefault(int(b), {})[g] = cands
 
         out: List[Tuple[int, Message]] = []
         for b in sorted(by_block):

@@ -164,7 +164,9 @@ class MeshDecoder(WindowDecoder):
                 shard_res = self._window_results_numpy(
                     iq_full, self._first and shard == 0
                 )
-            msgs.extend(self._parse_window(shard_res, shard_valid))
+            msgs.extend(
+                self._parse_window(shard_res, shard_valid, self._window_index)
+            )
             self._window_index += 1
             self.metrics.windows_decoded += 1
             self.metrics.samples_in += spec.window

@@ -192,22 +192,35 @@ class Candidate:
     """One preamble hit handed from the frontend to host parsers.
 
     ``idx`` is the hit position within the block's search window — the same
-    quantity as Go's Data.Idx (decode.go:370). ``bits`` holds the sliced
-    packet symbols for the hit's preamble group. ``r900_symbols`` carries the
-    42 4-ary payload symbols for the R900 group (r900/r900.go:187-193),
-    pre-gathered by the frontend since the device owns the 6-ary quantized
-    stream.
+    quantity as Go's Data.Idx (decode.go:370). The sliced packet symbols are
+    carried as either a 0/1 bit array (``bits``, oracle path) or MSB-first
+    packed bytes (``packed``, device path — the frontend packs on device);
+    each representation is derived lazily from the other. ``r900_symbols``
+    carries the 42 4-ary payload symbols for the R900 group
+    (r900/r900.go:187-193), pre-gathered since the device owns the 6-ary
+    quantized stream.
     """
 
     idx: int
-    bits: np.ndarray
+    bits: Optional[np.ndarray] = None
+    packed: Optional[np.ndarray] = None
     r900_symbols: Optional[np.ndarray] = None
 
     def packed_bytes(self, n_symbols: int) -> np.ndarray:
+        nbytes = (n_symbols + 7) >> 3
+        if self.packed is not None:
+            return self.packed[:nbytes]
         from ..utils.bits import pack_bits
 
-        nbytes = (n_symbols + 7) >> 3
-        return pack_bits(self.bits[: nbytes * 8])
+        padded = np.zeros(nbytes * 8, np.uint8)
+        n = min(len(self.bits), nbytes * 8)
+        padded[:n] = self.bits[:n]
+        return pack_bits(padded)
+
+    def bit_array(self, n_symbols: int) -> np.ndarray:
+        if self.bits is not None:
+            return self.bits[:n_symbols]
+        return np.unpackbits(self.packed)[:n_symbols]
 
 
 class Parser:

@@ -176,7 +176,7 @@ class IDMParser(Parser):
         self.crc = CRC("CCITT", 0xFFFF, 0x1021, 0x1D0F)
 
     def _extract(self, cand: Candidate, data: np.ndarray) -> Message:
-        return parse_idm(cand.bits, data)
+        return parse_idm(cand.bit_array(PACKET_SYMBOLS), data)
 
     def _valid_id(self, msg: Message) -> bool:
         return msg.meter_id() != 0

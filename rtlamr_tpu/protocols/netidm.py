@@ -169,7 +169,7 @@ class NetIDMParser(IDMParser):
         self.cfg = packet_config(chip_length)
 
     def _extract(self, cand: Candidate, data: np.ndarray) -> Message:
-        return parse_netidm(cand.bits, data)
+        return parse_netidm(cand.bit_array(PACKET_SYMBOLS), data)
 
 
 register_parser("netidm", NetIDMParser)

@@ -113,7 +113,7 @@ class SCMParser(Parser):
             seen.add(key)
             if self.crc.checksum(data[2:12]) != 0:
                 continue
-            msg = parse_scm(cand.bits)
+            msg = parse_scm(cand.bit_array(PACKET_SYMBOLS))
             if msg.ID == 0:
                 continue
             out.append(msg)

@@ -91,6 +91,7 @@ def test_checkpoint_resume_bit_identical(tmp_path):
     wb = dec_a.window_bytes
     half -= half % wb  # window boundary
     got = [(b, str(m)) for b, m in dec_a.feed(iq[:half])]
+    got += [(b, str(m)) for b, m in dec_a.drain()]
     ckpt = capture_checkpoint(dec_a, half)
     ckpt.save(str(tmp_path / "ck"))
 
@@ -140,3 +141,15 @@ def test_cli_checkpoint_roundtrip(tmp_path, sample_bin):
     # First run limited so it stops partway (duration tiny after first chunk).
     full = go([])  # runs to EOF; no checkpoint saved (complete)
     assert len(full) == 14
+
+
+def test_meters_data():
+    from rtlamr_tpu.data import COMMODITY_ERT_TYPES, commodity_for_ert_type, load_meters
+
+    meters = load_meters()
+    assert len(meters) >= 60  # meters.csv ships 67 rows
+    assert any(m.manufacturer == "Itron" for m in meters)
+    assert commodity_for_ert_type(4) == ["electric"]
+    assert set(commodity_for_ert_type(12)) == {"electric", "gas"}
+    assert commodity_for_ert_type(13) == ["water"]
+    assert set(COMMODITY_ERT_TYPES) == {"electric", "gas", "water"}
