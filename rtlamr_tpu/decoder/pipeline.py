@@ -224,13 +224,48 @@ class WindowDecoder:
         iq_full, first, valid_blocks, window_index = meta
         spec = self.spec
         res = unpack_results(spec, np.asarray(buf))
-        if int(np.max(res["counts"])) > spec.max_hits:
+        if self._overflowed(res, spec):
+            # Escalate: re-decode this window with a high-capacity program
+            # variant (compiled lazily, cached); exact host path last.
             self.metrics.hit_overflows += 1
-            res = self._window_results_numpy(np.asarray(iq_full), first)
+            big = self._big_spec()
+            import jax.numpy as jnp
+
+            from ..ops.frontend import decode_window_packed
+
+            big_buf = decode_window_packed(
+                big, jnp.asarray(iq_full), self._first_scalar(first)
+            )
+            res = unpack_results(big, np.asarray(big_buf))
+            if self._overflowed(res, big):
+                res = self._window_results_numpy(np.asarray(iq_full), first)
         msgs = self._parse_window(res, valid_blocks, window_index)
         self.metrics.windows_decoded += 1
         self.metrics.samples_in += spec.window
         return msgs
+
+    def _overflowed(self, res: Dict[str, object], spec=None) -> bool:
+        """True when device compaction capacity was exceeded: raw hits past
+        the gather capacity, or distinct candidates past the output slots."""
+        spec = spec or self.spec
+        counts = np.asarray(res["counts"])
+        return bool(
+            (counts[:, 0] > spec.gather_hits).any()
+            or (counts[:, 1] > spec.max_hits).any()
+        )
+
+    def _big_spec(self) -> FrontendSpec:
+        """High-capacity program variant for hit-dense windows."""
+        import dataclasses
+
+        if not hasattr(self, "_big_spec_cache"):
+            w = self.spec.window
+            self._big_spec_cache = dataclasses.replace(
+                self.spec,
+                max_hits=min(4096, w),
+                gather_hits=min(1 << 16, w),
+            )
+        return self._big_spec_cache
 
     def _parse_window(
         self,
@@ -255,9 +290,10 @@ class WindowDecoder:
         # their own seen maps as the semantic authority.
         by_block: Dict[int, Dict[int, List[Candidate]]] = {}
         for g, gspec in enumerate(spec.groups):
-            count = int(res["counts"][g])
-            cap = count if res.get("_uncapped") else min(count, spec.max_hits)
-            idx = np.asarray(res["idx"][g])[:cap]
+            count = int(np.asarray(res["counts"])[g][1])
+            full = np.asarray(res["idx"][g])
+            cap = min(count, full.shape[0])
+            idx = full[:cap]
             if idx.size == 0:
                 continue
             data = np.asarray(res["bytes"][g])[:cap]
@@ -380,8 +416,11 @@ class WindowDecoder:
                     start = q + base
                     sym[i] = q6[start : start + PAYLOAD_SYMBOLS * 4 * cl : 4 * cl]
                 symbol_mats[g] = sym
-        # Disable the cap for this result set.
-        counts_arr = np.asarray(counts, np.int32)
+        # Disable the cap for this result set ((G, 2) raw/unique counts).
+        counts_arr = np.stack(
+            [np.asarray(counts, np.int32), np.asarray(counts, np.int32)],
+            axis=1,
+        )
         return {
             "counts": counts_arr,
             "idx": idxs,

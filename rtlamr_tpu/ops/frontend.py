@@ -69,11 +69,17 @@ class FrontendSpec:
     packet_length: int
     block_size: int
     window: int  # W: search positions per window; multiple of block_size
-    max_hits: int  # K: compacted hit capacity per group per window
+    max_hits: int  # K: output capacity (distinct candidates) per group
     groups: Tuple[GroupSpec, ...]
     wants_r900: bool
     #: "jnp" (pure XLA) or "pallas" (fused stencil kernel for bits/q6)
     backend: str = "jnp"
+    #: internal gather capacity before duplicate collapse. Preamble hits form
+    #: plateaus of adjacent positions slicing identical packets; the device
+    #: collapses same-block adjacent duplicates (semantics-safe: the host
+    #: parsers' per-block seen maps would drop them anyway, scm/scm.go:62-74)
+    #: and compacts the survivors to max_hits output slots.
+    gather_hits: int = 4096
 
     @property
     def halo(self) -> int:
@@ -103,17 +109,22 @@ def make_frontend_spec(
                 wants_r900=wants,
             )
         )
+    window = window_blocks * cfg.block_size
     return FrontendSpec(
         chip_length=cfg.chip_length,
         symbol_length=cfg.symbol_length,
         preamble_length=cfg.preamble_length,
         packet_length=cfg.packet_length,
         block_size=cfg.block_size,
-        window=window_blocks * cfg.block_size,
+        window=window,
         max_hits=max_hits,
         groups=tuple(groups),
         wants_r900=wants_any,
         backend=backend,
+        # The slicing gather's cost is proportional to this static capacity
+        # (whether slots are used or not), so keep it tight; overflow
+        # escalates to a larger program variant, then to the exact host path.
+        gather_hits=min(max(4 * max_hits, 1024), window),
     )
 
 
@@ -218,12 +229,36 @@ def bits_q6_jnp(spec: FrontendSpec, iq: jnp.ndarray, first: jnp.ndarray):
     return bits, q6
 
 
+def _strided_rows(
+    stream: jnp.ndarray, starts: jnp.ndarray, stride: int, length: int
+) -> jnp.ndarray:
+    """rows[i, j] = stream[starts[i] + j*stride] via contiguous slices.
+
+    Positions at a fixed stride live in one column of
+    ``stream.reshape(-1, stride)``; after a transpose each result row is a
+    contiguous segment, so the batched read lowers to an efficient sliced
+    gather (slice size ``length``) instead of ``k*length`` scalar gathers.
+    """
+    n_rows = -(-int(stream.shape[0]) // stride) + length + 1
+    padded = jnp.zeros(n_rows * stride, stream.dtype)
+    padded = jax.lax.dynamic_update_slice(padded, stream, (0,))
+    mat = padded.reshape(n_rows, stride).T  # (stride, n_rows)
+    r = starts % stride
+    c = starts // stride
+
+    def one(rr, cc):
+        return jax.lax.dynamic_slice(mat, (rr, cc), (1, length))[0]
+
+    return jax.vmap(one)(r, c)
+
+
 def search_slice(spec: FrontendSpec, bits: jnp.ndarray, q6):
     """Correlation, compaction and slicing over the quantized streams."""
     cl = spec.chip_length
     sl = spec.symbol_length
     w = spec.window
     k_cap = spec.max_hits
+    k_gather = spec.gather_hits
 
     counts: List[jnp.ndarray] = []
     idxs: List[jnp.ndarray] = []
@@ -237,39 +272,59 @@ def search_slice(spec: FrontendSpec, bits: jnp.ndarray, q6):
         for k, bit in enumerate(group.bits):
             seg = jax.lax.dynamic_slice(bits, (k * sl,), (w,))
             acc = jnp.logical_and(acc, seg == bit)
-        counts.append(jnp.sum(acc, dtype=jnp.int32))
-        (hit_idx,) = jnp.nonzero(acc, size=k_cap, fill_value=w)
-        idxs.append(hit_idx.astype(jnp.int32))
-        safe_idx = jnp.where(hit_idx < w, hit_idx, 0).astype(jnp.int32)
+        raw_count = jnp.sum(acc, dtype=jnp.int32)
+        (hit_idx,) = jnp.nonzero(acc, size=k_gather, fill_value=w)
+        hit_idx = hit_idx.astype(jnp.int32)
+        valid = hit_idx < w
+        safe_idx = jnp.where(valid, hit_idx, 0)
 
         # Bit slice at stride SL (decode.go:353-375) + MSB-first byte pack.
         s_g = group.packet_symbols
         nbytes = (s_g + 7) >> 3
         s_pad = nbytes * 8
-        offs = jnp.arange(s_pad, dtype=jnp.int32) * sl
-        offs = jnp.where(jnp.arange(s_pad) < s_g, offs, 0)
-        gather_idx = safe_idx[:, None] + offs[None, :]
-        pkt_bits = jnp.take(bits, gather_idx, axis=0)
+        pkt_bits = _strided_rows(bits, safe_idx, sl, s_pad)
         pkt_bits = jnp.where(jnp.arange(s_pad)[None, :] < s_g, pkt_bits, 0)
         weights = jnp.array([128, 64, 32, 16, 8, 4, 2, 1], jnp.int32)
         packed = jnp.einsum(
             "knb,b->kn",
-            pkt_bits.reshape(k_cap, nbytes, 8).astype(jnp.int32),
+            pkt_bits.reshape(k_gather, nbytes, 8).astype(jnp.int32),
             weights,
         ).astype(jnp.uint8)
-        byte_mats.append(packed)
 
+        syms = None
         if group.wants_r900:
             # 42 payload symbols at stride 4*CL from the 6-ary stream
             # starting at hit + PreambleLength - SymbolLength
             # (r900/r900.go:187-193).
             base = spec.preamble_length - sl
-            soffs = base + jnp.arange(PAYLOAD_SYMBOLS, dtype=jnp.int32) * (4 * cl)
-            sym_idx = safe_idx[:, None] + soffs[None, :]
-            symbol_mats[g] = jnp.take(q6, sym_idx, axis=0)
+            syms = _strided_rows(
+                q6, safe_idx + base, 4 * cl, PAYLOAD_SYMBOLS
+            )
+
+        # Collapse same-block ADJACENT duplicates: preamble-hit plateaus
+        # slice identical packets which the host parsers' per-block seen
+        # maps would drop anyway (scm/scm.go:62-74); dropping them here is
+        # semantics-free and shrinks the result buffer. Key: the candidate
+        # content each parser in the group reads.
+        key = syms if group.wants_r900 else packed
+        block_of = safe_idx // spec.block_size
+        same_prev = jnp.all(key[1:] == key[:-1], axis=-1)
+        same_prev = jnp.logical_and(same_prev, block_of[1:] == block_of[:-1])
+        dup = jnp.concatenate([jnp.zeros(1, jnp.bool_), same_prev])
+        keep = jnp.logical_and(valid, jnp.logical_not(dup))
+        unique_count = jnp.sum(keep, dtype=jnp.int32)
+        (u_pos,) = jnp.nonzero(keep, size=k_cap, fill_value=k_gather)
+        safe_pos = jnp.where(u_pos < k_gather, u_pos, 0).astype(jnp.int32)
+
+        counts.append(jnp.stack([raw_count, unique_count]))
+        out_idx = jnp.where(u_pos < k_gather, jnp.take(hit_idx, safe_pos), w)
+        idxs.append(out_idx.astype(jnp.int32))
+        byte_mats.append(jnp.take(packed, safe_pos, axis=0))
+        if group.wants_r900:
+            symbol_mats[g] = jnp.take(syms, safe_pos, axis=0)
 
     return {
-        "counts": jnp.stack(counts),
+        "counts": jnp.stack(counts),  # (G, 2): raw hits, unique candidates
         "idx": idxs,
         "bytes": byte_mats,
         "symbols": symbol_mats,
@@ -299,7 +354,7 @@ def result_layout(spec: FrontendSpec) -> List[Tuple[str, int, int]]:
         layout.append((name, off, size))
         off += size
 
-    add("counts", 4 * len(spec.groups))
+    add("counts", 4 * len(spec.groups) * 2)
     for g, group in enumerate(spec.groups):
         add(f"idx{g}", 4 * k)
     for g, group in enumerate(spec.groups):
@@ -342,7 +397,7 @@ def unpack_results(spec: FrontendSpec, buf: np.ndarray) -> Dict[str, object]:
     for name, off, size in result_layout(spec):
         view = buf[off : off + size]
         if name == "counts":
-            out["counts"] = view.view(np.int32)
+            out["counts"] = view.view(np.int32).reshape(len(spec.groups), 2)
         elif name.startswith("idx"):
             out["idx"].append(view.view(np.int32))
         elif name.startswith("bytes"):

@@ -151,7 +151,7 @@ class MeshDecoder(WindowDecoder):
             )
             if shard_valid == 0:
                 break
-            if int(np.max(shard_res["counts"])) > spec.max_hits:
+            if self._overflowed(shard_res):
                 self.metrics.hit_overflows += 1
                 iq_full = np.concatenate(
                     [
