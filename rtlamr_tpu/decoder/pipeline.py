@@ -260,10 +260,15 @@ class WindowDecoder:
 
         if not hasattr(self, "_big_spec_cache"):
             w = self.spec.window
+            gather = min(1 << 16, w)
             self._big_spec_cache = dataclasses.replace(
                 self.spec,
                 max_hits=min(4096, w),
-                gather_hits=min(1 << 16, w),
+                gather_hits=gather,
+                # Row capacity == gather capacity: a row overflow here
+                # implies >gather raw hits, so the same overflow check
+                # falls through to the exact host path.
+                gather_rows=min(gather, w // 128),
             )
         return self._big_spec_cache
 

@@ -80,6 +80,12 @@ class FrontendSpec:
     #: parsers' per-block seen maps would drop them anyway, scm/scm.go:62-74)
     #: and compacts the survivors to max_hits output slots.
     gather_hits: int = 4096
+    #: row capacity of the two-level hit compaction: hit positions are found
+    #: by locating the (w/128, 128)-tiled mask rows containing any hit (a
+    #: layout-friendly reduction + small nonzero), then running the exact
+    #: nonzero only over those gathered rows. Windows touching more rows than
+    #: this escalate exactly like gather_hits overflow.
+    gather_rows: int = 1024
 
     @property
     def halo(self) -> int:
@@ -110,6 +116,7 @@ def make_frontend_spec(
             )
         )
     window = window_blocks * cfg.block_size
+    gather_hits = min(max(4 * max_hits, 4096), window)
     return FrontendSpec(
         chip_length=cfg.chip_length,
         symbol_length=cfg.symbol_length,
@@ -124,7 +131,8 @@ def make_frontend_spec(
         # The slicing gather's cost is proportional to this static capacity
         # (whether slots are used or not), so keep it tight; overflow
         # escalates to a larger program variant, then to the exact host path.
-        gather_hits=min(max(4 * max_hits, 1024), window),
+        gather_hits=gather_hits,
+        gather_rows=min(max(gather_hits // 4, 1024), window // 128),
     )
 
 
@@ -164,22 +172,51 @@ def decode_core(spec: FrontendSpec, iq: jnp.ndarray, first: jnp.ndarray):
       bytes[g]:  (K, ceil(S_g/8)) uint8 MSB-first packed packet symbols
       symbols[g] (R900 groups only): (K, 42) uint8 4-ary payload symbols
     """
-    bits, q6 = bits_q6(spec, iq, first)
-    return search_slice(spec, bits, q6)
+    bits, q6, mask2d = frontend_stage(spec, iq, first)
+    return search_slice(spec, bits, q6, mask2d)
+
+
+def frontend_stage(spec: FrontendSpec, iq: jnp.ndarray, first: jnp.ndarray):
+    """Stencil stage: magnitude -> matched filters -> quantized streams ->
+    preamble correlation bank.
+
+    Returns (bits, q6, mask2d): bits is the window's slice of the padded bit
+    stream P (length window + PacketLength - SymbolLength); q6 is the R900
+    6-ary stream on the same index convention (or None); mask2d is the
+    (window/128, 128) u8 per-position preamble-hit bitmask (bit g = group g).
+    """
+    if spec.backend == "pallas":
+        from .pallas_frontend import frontend_pallas
+
+        return frontend_pallas(spec, iq, first)
+    bits, q6 = bits_q6_jnp(spec, iq, first)
+    return bits, q6, _masks_jnp(spec, bits)
 
 
 def bits_q6(spec: FrontendSpec, iq: jnp.ndarray, first: jnp.ndarray):
-    """Stencil stage: magnitude -> matched filters -> quantized streams.
+    """Quantized streams only (compatibility/testing helper)."""
+    bits, q6, _ = frontend_stage(spec, iq, first)
+    return bits, q6
 
-    Returns (bits, q6): bits is the window's slice of the padded bit stream
-    P (length window + PacketLength - SymbolLength); q6 is the R900 6-ary
-    stream on the same index convention (or None).
+
+def _masks_jnp(spec: FrontendSpec, bits: jnp.ndarray) -> jnp.ndarray:
+    """Preamble correlation bank in plain XLA (decode.go:255-348).
+
+    mask bit g at search position q is set iff every preamble bit of group g
+    matches ``bits`` at stride SymbolLength starting at q. The reference's
+    two-stage byte elimination is a scalar-CPU optimization with an identical
+    result.
     """
-    if spec.backend == "pallas":
-        from .pallas_frontend import bits_q6_pallas
-
-        return bits_q6_pallas(spec, iq, first)
-    return bits_q6_jnp(spec, iq, first)
+    sl = spec.symbol_length
+    w = spec.window
+    mask = jnp.zeros(w, jnp.uint8)
+    for g, group in enumerate(spec.groups):
+        acc = jnp.ones(w, dtype=jnp.bool_)
+        for k, bit in enumerate(group.bits):
+            seg = jax.lax.dynamic_slice(bits, (k * sl,), (w,))
+            acc = jnp.logical_and(acc, seg == bit)
+        mask = mask | jnp.where(acc, jnp.uint8(1 << g), jnp.uint8(0))
+    return mask.reshape(w // 128, 128)
 
 
 def bits_q6_jnp(spec: FrontendSpec, iq: jnp.ndarray, first: jnp.ndarray):
@@ -252,13 +289,37 @@ def _strided_rows(
     return jax.vmap(one)(r, c)
 
 
-def search_slice(spec: FrontendSpec, bits: jnp.ndarray, q6):
-    """Correlation, compaction and slicing over the quantized streams."""
+def search_slice(spec: FrontendSpec, bits: jnp.ndarray, q6, mask2d):
+    """Hit compaction and packet slicing over the quantized streams.
+
+    ``mask2d`` is the per-position preamble-hit bitmask from
+    :func:`frontend_stage`. Hits are located with a two-level compaction
+    tuned to the TPU's (8, 128) tiled layout: a lane-axis reduction finds
+    the rows containing any hit (cheap, layout-friendly), a small nonzero
+    compacts those row indices, and the exact per-position nonzero runs only
+    over the gathered rows — never over the full window.
+    """
     cl = spec.chip_length
     sl = spec.symbol_length
     w = spec.window
     k_cap = spec.max_hits
     k_gather = spec.gather_hits
+    n_rows_cap = spec.gather_rows
+    rm = w // 128
+
+    # Level 1: rows of the (w/128, 128) mask containing any hit (any group).
+    row_any = jnp.any(mask2d != 0, axis=1)
+    n_rows = jnp.sum(row_any, dtype=jnp.int32)
+    rows_overflow = n_rows > n_rows_cap
+    (rows_idx,) = jnp.nonzero(row_any, size=n_rows_cap, fill_value=rm)
+    row_valid = rows_idx < rm
+    safe_rows = jnp.where(row_valid, rows_idx, 0).astype(jnp.int32)
+    sub = jnp.take(mask2d, safe_rows, axis=0)  # (n_rows_cap, 128) u8
+    sub = jnp.where(row_valid[:, None], sub, jnp.uint8(0))
+    flat_sub = sub.reshape(-1)
+    flat_pos = (
+        safe_rows[:, None] * 128 + jnp.arange(128, dtype=jnp.int32)[None, :]
+    ).reshape(-1)
 
     counts: List[jnp.ndarray] = []
     idxs: List[jnp.ndarray] = []
@@ -266,16 +327,20 @@ def search_slice(spec: FrontendSpec, bits: jnp.ndarray, q6):
     symbol_mats: Dict[int, jnp.ndarray] = {}
 
     for g, group in enumerate(spec.groups):
-        # Preamble correlation at stride SL (decode.go:255-328; the
-        # reference's two-stage byte elimination has an identical result).
-        acc = jnp.ones(w, dtype=jnp.bool_)
-        for k, bit in enumerate(group.bits):
-            seg = jax.lax.dynamic_slice(bits, (k * sl,), (w,))
-            acc = jnp.logical_and(acc, seg == bit)
-        raw_count = jnp.sum(acc, dtype=jnp.int32)
-        (hit_idx,) = jnp.nonzero(acc, size=k_gather, fill_value=w)
-        hit_idx = hit_idx.astype(jnp.int32)
-        valid = hit_idx < w
+        raw_count = jnp.sum(
+            (mask2d >> g) & 1, dtype=jnp.int32
+        )  # exact total matches
+        # Row overflow reports as gather overflow so the caller escalates.
+        raw_count = jnp.where(
+            rows_overflow, jnp.int32(k_gather + 1), raw_count
+        )
+        # Level 2: exact nonzero over the gathered rows only.
+        gbit = (flat_sub >> g) & 1
+        (hits,) = jnp.nonzero(gbit, size=k_gather, fill_value=flat_pos.shape[0])
+        valid = hits < flat_pos.shape[0]
+        hit_idx = jnp.where(
+            valid, jnp.take(flat_pos, jnp.where(valid, hits, 0)), w
+        ).astype(jnp.int32)
         safe_idx = jnp.where(valid, hit_idx, 0)
 
         # Bit slice at stride SL (decode.go:353-375) + MSB-first byte pack.

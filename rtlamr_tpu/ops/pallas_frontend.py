@@ -1,18 +1,26 @@
 """Fused Pallas stencil kernel for the DSP front half.
 
 One pass over HBM replacing the jnp chain magnitude -> cumsum -> Manchester
-filter -> R900 filter bank (decode.go:199-245, r900/r900.go:82-150): each
-grid step DMAs a tile of raw u8 IQ into VMEM, computes the exact-int32
-magnitude, a flattened 2D prefix sum (wrap-around int32; all filter outputs
-are zero-coefficient-sum combinations so the wrap cancels), and derives both
-quantized streams with shifted VMEM reads — no int32 magnitude or cumsum
-array ever touches HBM.
+filter -> R900 filter bank -> preamble correlation (decode.go:199-348,
+r900/r900.go:82-150): each grid step DMAs a tile of raw u8 IQ into VMEM,
+computes the exact-int32 magnitude, a tile-local 2D prefix sum (wrap-around
+int32; all filter outputs are zero-coefficient-sum combinations so both the
+wrap and the tile-local offset cancel), derives both quantized streams with
+shifted VMEM reads, and correlates the bit stream against every registered
+preamble — no int32 magnitude or cumsum array ever touches HBM, and the
+preamble-hit mask leaves the kernel as one u8 per search position with one
+bit per preamble group.
 
 Layout: 1D sample streams are viewed as (rows, 128) lane-major tiles. A
 flattened shift by k = k_r*128 + k_c becomes a row slice + lane roll +
-row-boundary select (`_shifted`). Tiles overlap by ~3*SymbolLength samples
-(the deepest stencil reach, the R900 kernel at SL+4*CL); the overlap is
-re-read from HBM per tile, a few percent of traffic.
+row-boundary select (`_shifted`). Tiles overlap by the deepest stencil reach
+(preamble correlation, ~PreambleLength samples); the overlap is re-read from
+HBM per tile, a few percent of traffic.
+
+The prefix sum itself avoids the (TPU-unlowerable, layout-hostile) 1D
+``cumsum`` primitive: lane-axis inclusive scan via log2(128)=7 masked
+roll-adds, then cross-row offsets via log-depth shifted adds along the
+sublane axis — all exact int32 wrap-around arithmetic.
 """
 
 from __future__ import annotations
@@ -41,33 +49,68 @@ def _use_interpret() -> bool:
 
 
 def _shifted(arr: jnp.ndarray, k: int, r_out: int) -> jnp.ndarray:
-    """out[r, c] = arr_flat[r*128 + c + k] for a (rows, 128) VMEM array."""
+    """out[r, c] = arr_flat[r*128 + c + k] for a (rows, 128) VMEM array.
+
+    Mosaic-friendly formulation: whole-array sublane/lane rotates plus a
+    lane-boundary select; the only slices start at row 0 with 8-aligned
+    length (Mosaic's sublane tiling constraint — arbitrary row offsets are
+    not sliceable).
+    """
     k_r, k_c = divmod(k, LANES)
-    a = arr[k_r : k_r + r_out + 1]
+    rows = arr.shape[0]
+    dtype = arr.dtype
+    a = arr if dtype.itemsize == 4 else arr.astype(jnp.int32)
+    up = a if k_r == 0 else pltpu.roll(a, rows - k_r, axis=0)  # up[r]=a[r+k_r]
     if k_c == 0:
-        return a[:r_out]
-    b = pltpu.roll(a, LANES - k_c, axis=1)  # out[c] = a[(c + k_c) % LANES]
-    col = jax.lax.broadcasted_iota(jnp.int32, (r_out, LANES), 1)
-    return jnp.where(col < LANES - k_c, b[:r_out], b[1 : r_out + 1])
+        return up[:r_out].astype(dtype)
+    up1 = pltpu.roll(a, rows - k_r - 1, axis=0)  # up1[r] = a[r + k_r + 1]
+    b = pltpu.roll(up, LANES - k_c, axis=1)  # b[c] = up[(c + k_c) % 128]
+    b1 = pltpu.roll(up1, LANES - k_c, axis=1)
+    col = jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 1)
+    out = jnp.where(col < LANES - k_c, b, b1)[:r_out]
+    return out.astype(dtype)
 
 
 def _flat_cumsum(mag: jnp.ndarray) -> jnp.ndarray:
-    """Inclusive prefix sum of the flattened (rows, 128) int32 array."""
-    row_cs = jnp.cumsum(mag, axis=1)
-    row_tot = row_cs[:, LANES - 1 :]
-    row_off = jnp.cumsum(row_tot, axis=0) - row_tot  # exclusive row offsets
-    return row_cs + row_off
+    """Inclusive prefix sum of the flattened (rows, 128) int32 array.
+
+    Lane axis: 7 masked roll-adds (Hillis-Steele). Row axis: log-depth
+    masked sublane-roll adds of the broadcast per-row totals. Exact int32
+    wrap-around; full-width (rows, 128) shapes throughout to stay inside
+    Mosaic's supported layouts.
+    """
+    rows = mag.shape[0]
+    col = jax.lax.broadcasted_iota(jnp.int32, mag.shape, 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, mag.shape, 0)
+    cs = mag
+    s = 1
+    while s < LANES:
+        rolled = pltpu.roll(cs, s, axis=1)  # rolled[c] = cs[(c - s) % 128]
+        cs = cs + jnp.where(col >= s, rolled, 0)
+        s <<= 1
+    # Inclusive row-total scan, broadcast across lanes. The totals come from
+    # a fresh reduction (not a lane-127 slice, which Mosaic can't relayout).
+    tot = jnp.broadcast_to(jnp.sum(mag, axis=1, keepdims=True), mag.shape)
+    t = tot
+    s = 1
+    while s < rows:
+        rolled = pltpu.roll(t, s, axis=0)  # rolled[r] = t[(r - s) % rows]
+        t = t + jnp.where(row >= s, rolled, 0)
+        s <<= 1
+    return cs + (t - tot)  # + exclusive row offsets
 
 
 def _kernel(
     spec: FrontendSpec,
     r_out: int,
+    r_bits: int,
     r_in: int,
     first_ref,
     i_hbm,
     q_hbm,
     bits_ref,
     q6_ref,
+    mask_ref,
     i_vmem,
     q_vmem,
     sems,
@@ -100,28 +143,45 @@ def _kernel(
     row = jax.lax.broadcasted_iota(jnp.int32, (r_in, LANES), 0)
     col = jax.lax.broadcasted_iota(jnp.int32, (r_in, LANES), 1)
     gpos = base + row * LANES + col
-    mag = jnp.where(
-        jnp.logical_and(first != 0, gpos < spec.halo), 0, mag
-    )
+    mag = jnp.where(jnp.logical_and(first != 0, gpos < spec.halo), 0, mag)
 
     cs = _flat_cumsum(mag)
-    # Exclusive prefix E[j] = sum mag[:j] (local; global offset cancels).
+    # Exclusive prefix E[j] = sum mag[:j] (tile-local; offset cancels).
     ex = cs - mag
 
-    def e(k):  # E at flat offset q + k for q in [0, tile)
-        return _shifted(ex, k, r_out)
+    def e(k, r=r_out):  # E at flat offset q + k for q in [0, r*128)
+        return _shifted(ex, k, r)
 
-    # Manchester: f[q] = 2E(q+CL) - E(q) - E(q+SL); bit = f >= 0
-    f = 2 * e(cl) - e(0) - e(sl)
-    bits = (f >= 0).astype(jnp.uint8)
+    # Manchester bits over the EXTENDED range r_bits (the correlation below
+    # reads bits up to (PreambleSymbols-1)*SL past the tile's own output).
+    # f[q] = 2E(q+CL) - E(q) - E(q+SL); bit = f >= 0 (decode.go:229-245).
+    f = 2 * e(cl, r_bits) - e(0, r_bits) - e(sl, r_bits)
+    bits_ext = (f >= 0).astype(jnp.uint8)
     # Initial PacketLength zero bits of the stream (decode.go:145).
-    opos = base + jax.lax.broadcasted_iota(jnp.int32, (r_out, LANES), 0) * LANES + jax.lax.broadcasted_iota(jnp.int32, (r_out, LANES), 1)
-    bits = jnp.where(
-        jnp.logical_and(first != 0, opos < spec.packet_length),
+    brow = jax.lax.broadcasted_iota(jnp.int32, (r_bits, LANES), 0)
+    bcol = jax.lax.broadcasted_iota(jnp.int32, (r_bits, LANES), 1)
+    bpos = base + brow * LANES + bcol
+    bits_ext = jnp.where(
+        jnp.logical_and(first != 0, bpos < spec.packet_length),
         jnp.uint8(0),
-        bits,
+        bits_ext,
     )
-    bits_ref[:] = bits
+    bits_ref[:] = bits_ext[:r_out]
+
+    # Preamble correlation bank (decode.go:255-348): mask bit g set iff
+    # group g's whole preamble matches at stride SL starting at q. All in
+    # int32 — the VPU has no 8-bit compares.
+    opos = bpos[:r_out]
+    bits32 = bits_ext.astype(jnp.int32)
+    mask = jnp.zeros((r_out, LANES), jnp.int32)
+    for g, group in enumerate(spec.groups):
+        acc = jnp.ones((r_out, LANES), jnp.bool_)
+        for k, bit in enumerate(group.bits):
+            seg = _shifted(bits32, k * sl, r_out)
+            acc = jnp.logical_and(acc, seg == bit)
+        mask = mask | jnp.where(acc, jnp.int32(1 << g), jnp.int32(0))
+    # Search positions exist only in [0, window).
+    mask_ref[:] = jnp.where(opos < spec.window, mask, 0).astype(jnp.uint8)
 
     if spec.wants_r900:
         # R900 filter bank over mag[q+SL .. q+SL+4CL) (r900/r900.go:96-149)
@@ -146,21 +206,34 @@ def _kernel(
 
 
 @functools.partial(jax.jit, static_argnums=(0,))
-def bits_q6_pallas(
+def frontend_pallas(
     spec: FrontendSpec, iq: jnp.ndarray, first: jnp.ndarray
-) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
-    """Pallas-backed replacement for bits_q6_jnp (same contract)."""
+) -> Tuple[jnp.ndarray, Optional[jnp.ndarray], jnp.ndarray]:
+    """Fused stencil stage: (bits, q6, mask2d).
+
+    bits: (window + PacketLength - SymbolLength,) u8 bit stream slice.
+    q6:   R900 6-ary stream on the same index convention (or None).
+    mask2d: (window/128, 128) u8; bit g = preamble-group-g hit at that
+      search position.
+    """
     sl = spec.symbol_length
     pl_ = spec.packet_length
     w = spec.window
     lp = w + pl_ - sl
     lq = w + pl_ - 2 * sl
 
-    tile = min(1 << 16, _round_up(lp, LANES))
+    max_pre_bits = max(len(g.bits) for g in spec.groups)
+    pre_reach = (max_pre_bits - 1) * sl  # deepest bits read by correlation
+
+    # Tiles are whole (8, 128) vregs: Mosaic slices must be 8-row aligned.
+    tile = min(1 << 16, _round_up(lp, 8 * LANES))
     n_tiles = -(-lp // tile)
     r_out = tile // LANES
-    m_extra = _round_up(3 * sl, LANES) + LANES
-    r_in = r_out + m_extra // LANES
+    r_bits = r_out + _round_up(pre_reach, LANES) // LANES + 1
+    # ex must cover bits_ext reads (offset <= SL past r_bits) and the R900
+    # bank (offset <= 3*SL past r_out).
+    m_extra = _round_up(pre_reach + 3 * sl, 8 * LANES) + 2 * 8 * LANES
+    r_in = r_out + m_extra // LANES  # multiple of 8 (Mosaic slice tiling)
 
     # Deinterleave + pad so every tile's overlapping read is in bounds.
     need = n_tiles * tile + m_extra
@@ -171,8 +244,8 @@ def bits_q6_pallas(
 
     first_arr = jnp.asarray(first, jnp.int32).reshape(1, 1)
 
-    kernel = functools.partial(_kernel, spec, r_out, r_in)
-    bits2d, q62d = pl.pallas_call(
+    kernel = functools.partial(_kernel, spec, r_out, r_bits, r_in)
+    out2d = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
         in_specs=[
@@ -183,8 +256,10 @@ def bits_q6_pallas(
         out_specs=[
             pl.BlockSpec((r_out, LANES), lambda t: (t, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((r_out, LANES), lambda t: (t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((r_out, LANES), lambda t: (t, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
+            jax.ShapeDtypeStruct((n_tiles * r_out, LANES), jnp.uint8),
             jax.ShapeDtypeStruct((n_tiles * r_out, LANES), jnp.uint8),
             jax.ShapeDtypeStruct((n_tiles * r_out, LANES), jnp.uint8),
         ],
@@ -195,7 +270,16 @@ def bits_q6_pallas(
         ],
         interpret=_use_interpret(),
     )(first_arr, i2d, q2d)
+    bits2d, q62d, mask2d = out2d
 
     bits = bits2d.reshape(-1)[:lp]
     q6 = q62d.reshape(-1)[:lq] if spec.wants_r900 else None
+    return bits, q6, mask2d[: w // LANES]
+
+
+def bits_q6_pallas(
+    spec: FrontendSpec, iq: jnp.ndarray, first: jnp.ndarray
+) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
+    """Compatibility wrapper: (bits, q6) only (parity tests)."""
+    bits, q6, _ = frontend_pallas(spec, iq, first)
     return bits, q6
