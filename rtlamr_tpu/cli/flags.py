@@ -281,6 +281,12 @@ def build_flagset() -> FlagSet:
         "print a metrics snapshot to stderr on exit",
         kind="bool",
     )
+    fs.add(
+        "ingest",
+        "auto",
+        "sample transport: native (C++ reader thread + ring buffer / mmap), "
+        "python, or auto (native when buildable)",
+    )
     # rtl_tcp flags (contributed by the rtltcp package in the reference,
     # main.go:320)
     fs.add("server", "127.0.0.1:1234", "address or hostname of rtl_tcp instance", rtlamr=False)

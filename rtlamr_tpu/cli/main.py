@@ -89,16 +89,39 @@ class Receiver:
         self.cfg = self.decoder.cfg
         self.client: Optional[RtlTcpClient] = None
 
+    def _use_native(self) -> bool:
+        """Resolve the -ingest flag (native C++ transport vs pure Python)."""
+        mode = self.fs.value("ingest")
+        if mode == "python":
+            return False
+        from .. import native
+
+        if native.available():
+            return True
+        if mode == "native":
+            _log(f"native ingest unavailable: {native.load_error()}")
+            raise SystemExit(1)
+        return False
+
     def open_source(self) -> IQSource:
         fs = self.fs
         fromfile = fs.value("fromfile")
         if fromfile:
             if fromfile == "-":
                 return StdinSource()
+            if self._use_native():
+                from ..native import NativeFileSource
+
+                return NativeFileSource(fromfile)
             return FileSource(fromfile)
 
         cfg = self.cfg
-        client = RtlTcpClient(fs.value("server"))
+        if self._use_native():
+            from ..native import NativeRtlTcpClient
+
+            client = NativeRtlTcpClient(fs.value("server"))
+        else:
+            client = RtlTcpClient(fs.value("server"))
         info = client.connect()
         self.client = client
 

@@ -181,10 +181,11 @@ class FakeRtlTcp(threading.Thread):
         conn.sendall(b"RTL0" + struct.pack(">II", 5, 29))  # R820T, 29 gains
         conn.settimeout(0.2)
         pos = 0
+        cmd = b""
         try:
             while pos < len(self.iq):
                 try:
-                    cmd = conn.recv(5)
+                    cmd += conn.recv(64)
                     while len(cmd) >= 5:
                         self.commands.append(struct.unpack(">BI", cmd[:5]))
                         cmd = cmd[5:]
