@@ -65,12 +65,12 @@ def main():
     except Exception as e:
         print(f"bits_q6 pallas FAILED: {e}", file=sys.stderr)
 
-    # Stage 2: search_slice alone (feed it bits from stage 1)
-    bits, q6 = f1(iq_dev, first)
-    bits = jax.block_until_ready(bits)
-    f3 = jax.jit(lambda b, q: fe.search_slice(spec, b, q))
-    r = f3(bits, q6); jax.block_until_ready(r)
-    t = timeit(lambda: jax.block_until_ready(f3(bits, q6)))
+    # Stage 2: search_slice alone (feed it the frontend stage outputs)
+    fs_fn = jax.jit(lambda x, f: fe.frontend_stage(spec, x, f))
+    bits, q6, mask2d = jax.block_until_ready(fs_fn(iq_dev, first))
+    f3 = jax.jit(lambda b, q, m: fe.search_slice(spec, b, q, m))
+    r = f3(bits, q6, mask2d); jax.block_until_ready(r)
+    t = timeit(lambda: jax.block_until_ready(f3(bits, q6, mask2d)))
     print(f"search_slice:     {t*1e3:8.1f} ms", file=sys.stderr)
 
     # Full program, device only
