@@ -1,11 +1,11 @@
 """Throughput benchmark — decoded IQ samples per second per chip.
 
 Measures the full all-protocol decode engine (scm + scm+ + idm + r900, the
-reference's ``-msgtype=all`` set at chip length 72): the fused device window
-program, per-window result fetch, and host-side candidate parsing with
-dedup, using the dispatch-ahead pipeline. The synthetic capture (with real
-packets of all protocols embedded in noise) is staged into device HBM once
-up front — the metric characterizes the decode engine per chip; ingest
+reference's ``-msgtype=all`` set at chip length 72): the fused Pallas device
+window program, per-window result fetch, and host-side candidate parsing
+with dedup, using the dispatch-ahead pipeline. The synthetic capture (with
+real packets of all protocols embedded in noise) is staged into device HBM
+once up front — the metric characterizes the decode engine per chip; ingest
 bandwidth is a property of the host link (PCIe in production; a loopback
 relay in this test rig).
 
@@ -55,6 +55,7 @@ def build_capture(cfg, n_windows: int, window_samples: int, halo: int) -> np.nda
 def main() -> None:
     window_blocks = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
     seconds = float(sys.argv[2]) if len(sys.argv) > 2 else 12.0
+    backend = sys.argv[3] if len(sys.argv) > 3 else "pallas"
 
     import jax
     import jax.numpy as jnp
@@ -63,25 +64,35 @@ def main() -> None:
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 
     from rtlamr_tpu.decoder import WindowDecoder
+    from rtlamr_tpu.ops.frontend import staged_geometry
     from rtlamr_tpu.protocols import new_parser
 
     parsers = [new_parser(n, 72) for n in ("scm", "scm+", "idm", "r900")]
-    dec = WindowDecoder(parsers, window_blocks=window_blocks, max_hits=4096)
-    w = dec.spec.window
-    halo2 = 2 * dec.spec.halo
+    dec = WindowDecoder(
+        parsers, window_blocks=window_blocks, max_hits=256, backend=backend
+    )
+    spec = dec.spec
+    geo = staged_geometry(spec)
+    w = spec.window
     n_windows = 4
-    iq = build_capture(dec.cfg, n_windows, w, dec.spec.halo)
+    iq = build_capture(dec.cfg, n_windows, w, spec.halo)
 
-    # Stage the capture (with halos) into HBM once.
+    # Stage the capture once into HBM in the u16 StagedGeometry layout:
+    # zero-copy u16 view of the raw interleaved bytes, placed at pad_shift.
     print(
         f"staging {iq.size / 2 / 1e6:.1f} MS capture "
-        f"({n_windows} windows of {w} samples)...",
+        f"({n_windows} windows of {w} samples, backend={backend})...",
         file=sys.stderr,
     )
-    capture_dev = jax.device_put(jnp.asarray(iq))
+    full = np.zeros(
+        (n_windows - 1) * w + geo.staged_samples, np.uint16
+    )
+    u16 = iq.view(np.uint16)
+    full[spec.pad_shift : spec.pad_shift + u16.size] = u16
+    capture_dev = jax.device_put(jnp.asarray(full))
     jax.block_until_ready(capture_dev)
     staged = [
-        jax.lax.dynamic_slice(capture_dev, (2 * i * w,), (halo2 + 2 * w,))
+        jax.lax.dynamic_slice(capture_dev, (i * w,), (geo.staged_samples,))
         for i in range(n_windows)
     ]
     staged = [jax.block_until_ready(s) for s in staged]

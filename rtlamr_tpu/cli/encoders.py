@@ -145,8 +145,14 @@ class XMLEncoder(Encoder):
             f"Type={quoteattr(log_msg.type)}",
         ]
         fields = log_msg.msg.to_dict()
+        # Per-message XML attribute renames from the reference's struct tags
+        # (e.g. ChecksumVal -> Checksum, scm/scm.go:100; PacketCRC ->
+        # Checksum, scmplus/scmplus.go:102). JSON keeps the field names (the
+        # reference structs carry no effective json tags).
+        renames = getattr(log_msg.msg, "XML_RENAMES", {})
         children = []
         for key, value in fields.items():
+            key = renames.get(key, key)
             if isinstance(value, (list, tuple)):
                 inner = "".join(f"<Value>{v}</Value>" for v in value)
                 children.append(f"<{key}>{inner}</{key}>")

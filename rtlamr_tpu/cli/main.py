@@ -11,6 +11,7 @@ decoder (device program) -> encode filtered, deduped messages.
 from __future__ import annotations
 
 import datetime
+import itertools
 import os
 import sys
 import time
@@ -26,6 +27,7 @@ from ..io.capture import (
     IQSource,
     RtlTcpSource,
     SampleDumper,
+    SampleRing,
     StdinSource,
 )
 from ..io.rtltcp import RtlTcpClient
@@ -92,6 +94,9 @@ class Receiver:
     def _use_native(self) -> bool:
         """Resolve the -ingest flag (native C++ transport vs pure Python)."""
         mode = self.fs.value("ingest")
+        if mode not in ("auto", "native", "python"):
+            _log(f"invalid -ingest value {mode!r} (want auto|native|python)")
+            raise SystemExit(1)
         if mode == "python":
             return False
         from .. import native
@@ -200,6 +205,24 @@ def run(fs: FlagSet, out=sys.stdout) -> int:
             _log(f"resumed from checkpoint at byte {consumed}")
 
     chunk_bytes = max(dec.cfg.block_size2, 1 << 18)
+    # Rolling sample buffer simulation for Offset/Length and -samplefile
+    # dumps (main.go:225-230,279-284). Blocks are retained up to the
+    # dispatch-ahead decode latency (two windows) plus the ring capacity.
+    ring_cap_blocks = -(-dec.cfg.buffer_length * 2 // dec.cfg.block_size2)
+    ring = SampleRing(
+        dumper,
+        dec.cfg.block_size2,
+        dec.cfg.buffer_length * 2,
+        max_lag_blocks=2 * (dec.spec.window // dec.cfg.block_size)
+        + ring_cap_blocks
+        + 4,
+    )
+    if consumed:
+        # Resumed mid-capture: the ring walk restarts at the resume block
+        # (Offset/Length of re-decoded history are not replayed).
+        resumed_blocks = consumed // dec.cfg.block_size2
+        ring._next_fed = resumed_blocks
+        ring._sim_block = resumed_blocks - 1
     stop = False
     eof = False
     try:
@@ -217,33 +240,44 @@ def run(fs: FlagSet, out=sys.stdout) -> int:
                     chunk = np.zeros(0, np.uint8)
                 if watchdog is not None:
                     watchdog.add_bytes(chunk.size)
+                    dropped = source.dropped_bytes()
+                    if dropped > dec.metrics.extra.get("bytes_dropped", 0):
+                        _log(
+                            "ingest ring overflow: "
+                            f"{dropped} bytes dropped so far"
+                        )
+                    dec.metrics.extra["bytes_dropped"] = dropped
                 if chunk.size == 0:
                     eof = True
                     msgs = dec.flush()
                 else:
+                    ring.feed(chunk)
                     msgs = dec.feed(chunk)
                     consumed += chunk.size
-                pkt_found = False
-                for _block, msg in msgs:
-                    log_msg = LogMessage(
-                        time=datetime.datetime.now(),
-                        offset=dumper.offset(),
-                        length=chunk.size,
-                        msg=msg,
-                    )
-                    encoder.encode(log_msg)
-                    pkt_found = True
-                    if single:
-                        if not waiting_ids:
-                            stop = True
-                            break
-                        waiting_ids.discard(msg.meter_id())
-                if pkt_found:
-                    if dumper.active:
-                        dumper.write(chunk)
+                # Messages arrive ordered by block; replay the reference's
+                # per-block ring walk (main.go:225-230) so Offset/Length and
+                # the post-block buffer dump match main.go:242-284 exactly.
+                for block, group in itertools.groupby(msgs, key=lambda t: t[0]):
+                    ring.advance_to(block)
+                    for _b, msg in group:
+                        log_msg = LogMessage(
+                            time=datetime.datetime.now(),
+                            offset=dumper.offset(),
+                            length=ring.length,
+                            msg=msg,
+                        )
+                        encoder.encode(log_msg)
+                        if single:
+                            if not waiting_ids:
+                                stop = True
+                                break
+                            waiting_ids.discard(msg.meter_id())
+                    ring.dump()
                     if single and not waiting_ids:
                         _log("single: received messages from all meters")
                         stop = True
+                    if stop:
+                        break
                 if chunk.size == 0:
                     break
     except KeyboardInterrupt:
@@ -255,15 +289,20 @@ def run(fs: FlagSet, out=sys.stdout) -> int:
             # Emit anything still in the dispatch-ahead pipeline, then
             # checkpoint at the last window boundary (pending bytes are
             # re-read on resume).
-            for _block, msg in dec.drain():
-                encoder.encode(
-                    LogMessage(
-                        time=datetime.datetime.now(),
-                        offset=dumper.offset(),
-                        length=0,
-                        msg=msg,
+            for block, group in itertools.groupby(
+                dec.drain(), key=lambda t: t[0]
+            ):
+                ring.advance_to(block)
+                for _b, msg in group:
+                    encoder.encode(
+                        LogMessage(
+                            time=datetime.datetime.now(),
+                            offset=dumper.offset(),
+                            length=ring.length,
+                            msg=msg,
+                        )
                     )
-                )
+                ring.dump()
             boundary = consumed - int(dec._pending.size)
             dec._pending = np.zeros(0, np.uint8)
             capture_checkpoint(dec, boundary).save(ckpt_path)

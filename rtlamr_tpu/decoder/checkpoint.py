@@ -29,7 +29,7 @@ class Checkpoint:
     window_index: int
     last_block: int
     first: bool
-    carry: np.ndarray  # (2*halo,) u8
+    carry: np.ndarray  # (halo_staged,) u16 staged samples
     prev_digests: List[Tuple]  # serialized Digest tuples
 
     def save(self, path: str) -> None:
@@ -50,7 +50,7 @@ class Checkpoint:
     def load(cls, path: str) -> "Checkpoint":
         with open(path + ".meta.json") as f:
             meta = json.load(f)
-        carry = np.fromfile(path + ".carry.bin", dtype=np.uint8)
+        carry = np.fromfile(path + ".carry.bin", dtype=np.uint16)
         digests = [
             (t, mt, mid, bytes.fromhex(ck))
             for t, mt, mid, ck in meta["prev_digests"]
@@ -93,5 +93,5 @@ def restore_checkpoint(dec: WindowDecoder, ckpt: Checkpoint) -> None:
     dec._window_index = ckpt.window_index
     dec._last_block = ckpt.last_block
     dec._first = ckpt.first
-    dec._carry = np.asarray(ckpt.carry, np.uint8).copy()
+    dec._carry = np.asarray(ckpt.carry, np.uint16).copy()
     dec._deduper.prev = {Digest(*d) for d in ckpt.prev_digests}

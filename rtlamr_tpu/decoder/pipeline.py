@@ -77,7 +77,9 @@ class WindowDecoder:
     # -- streaming state ----------------------------------------------------
 
     def reset(self) -> None:
-        self._carry = np.zeros(2 * self.spec.halo, np.uint8)
+        # Carry between windows: the last halo_staged SAMPLES (u16 = one
+        # interleaved IQ byte pair each) of the previous window's stream.
+        self._carry = np.zeros(self.spec.halo_staged, np.uint16)
         self._first = True
         self._window_index = 0
         self._deduper = BlockDeduper()
@@ -133,17 +135,17 @@ class WindowDecoder:
     ) -> List[Tuple[int, Message]]:
         """Decode windows already staged in device memory.
 
-        ``staged[i]`` is a device array of ``2*(halo+window)`` uint8 — a
-        window with its halo prefix (as produced by slicing a device-resident
-        capture at window boundaries). Skips per-window host->device
+        ``staged[i]`` is a device array of ``spec.staged_samples`` uint16 in
+        the StagedGeometry layout (as produced by slicing a device-resident
+        staged capture at window boundaries). Skips per-window host->device
         transfers entirely; used for HBM-resident captures and benching.
         """
-        from ..ops.frontend import decode_window_packed
+        from ..ops.frontend import decode_window_staged_packed
 
         spec = self.spec
         out: List[Tuple[int, Message]] = []
         for iq_full in staged:
-            buf = decode_window_packed(
+            buf = decode_window_staged_packed(
                 spec, iq_full, self._first_scalar(self._first)
             )
             meta = (iq_full, self._first, None, self._window_index)
@@ -199,15 +201,19 @@ class WindowDecoder:
         """
         import jax.numpy as jnp
 
-        from ..ops.frontend import decode_window_packed
+        from ..ops.frontend import decode_window_staged_packed, staged_geometry
 
         spec = self.spec
-        iq_full = np.concatenate([self._carry, window_bytes])
-        buf = decode_window_packed(
-            spec, jnp.asarray(iq_full), self._first_scalar(self._first)
+        geo = staged_geometry(spec)
+        hs, w = spec.halo_staged, spec.window
+        staged = np.zeros(geo.staged_samples, np.uint16)
+        staged[:hs] = self._carry
+        staged[hs : hs + w] = np.ascontiguousarray(window_bytes).view(np.uint16)
+        buf = decode_window_staged_packed(
+            spec, jnp.asarray(staged), self._first_scalar(self._first)
         )
-        meta = (iq_full, self._first, valid_blocks, self._window_index)
-        self._carry = iq_full[-2 * spec.halo :].copy()
+        meta = (staged, self._first, valid_blocks, self._window_index)
+        self._carry = staged[w : w + hs].copy()
         self._first = False
         self._window_index += 1
 
@@ -221,7 +227,7 @@ class WindowDecoder:
     def _complete_window(self, buf, meta) -> List[Tuple[int, Message]]:
         from ..ops.frontend import unpack_results
 
-        iq_full, first, valid_blocks, window_index = meta
+        staged, first, valid_blocks, window_index = meta
         spec = self.spec
         res = unpack_results(spec, np.asarray(buf))
         if self._overflowed(res, spec):
@@ -231,14 +237,14 @@ class WindowDecoder:
             big = self._big_spec()
             import jax.numpy as jnp
 
-            from ..ops.frontend import decode_window_packed
+            from ..ops.frontend import decode_window_staged_packed
 
-            big_buf = decode_window_packed(
-                big, jnp.asarray(iq_full), self._first_scalar(first)
+            big_buf = decode_window_staged_packed(
+                big, jnp.asarray(staged), self._first_scalar(first)
             )
             res = unpack_results(big, np.asarray(big_buf))
             if self._overflowed(res, big):
-                res = self._window_results_numpy(np.asarray(iq_full), first)
+                res = self._window_results_numpy(np.asarray(staged), first)
         msgs = self._parse_window(res, valid_blocks, window_index)
         self.metrics.windows_decoded += 1
         self.metrics.samples_in += spec.window
@@ -314,6 +320,18 @@ class WindowDecoder:
             idx, b_arr, data = idx[keep], b_arr[keep], data[keep]
             if syms is not None:
                 syms = syms[keep]
+            # Batched checksum pre-filter (crc/crc.go:49-55, r900.go:215-221):
+            # drop candidates no parser in the group could turn into a
+            # message, in one vectorized pass over the whole window. The
+            # parsers re-validate the (few) survivors scalar-wise.
+            valid = np.zeros(idx.shape[0], dtype=bool)
+            for parser in self._group_parsers[g]:
+                valid |= parser.valid_mask(data, syms)
+            if not valid.any():
+                continue
+            idx, b_arr, data = idx[valid], b_arr[valid], data[valid]
+            if syms is not None:
+                syms = syms[valid]
             # Candidates are equivalent for every parser in the group when
             # their dedup key matches: the 4-ary symbols for R900 groups
             # (r900/r900.go:209), the packed packet bytes otherwise.
@@ -362,10 +380,11 @@ class WindowDecoder:
         return out
 
     def _window_results_numpy(
-        self, iq_full: np.ndarray, first: bool
+        self, staged: np.ndarray, first: bool
     ) -> Dict[str, object]:
         """Exact NumPy mirror of ops/frontend.decode_window without the
-        hit-capacity cap; used when a window overflows max_hits."""
+        hit-capacity cap; used when a window overflows max_hits. ``staged``
+        is the u16 StagedGeometry buffer (I low byte, Q high byte)."""
         spec = self.spec
         cl, sl, pl, w = (
             spec.chip_length,
@@ -373,15 +392,20 @@ class WindowDecoder:
             spec.packet_length,
             spec.window,
         )
-        v = iq_full.astype(np.int64)
-        d = 255 - 2 * v
-        sq = d * d
-        mag = sq[0::2] + sq[1::2]
+        ps = spec.pad_shift
+        v = staged.astype(np.int64)
+        di = 255 - 2 * (v & 255)
+        dq = 255 - 2 * (v >> 8)
+        mag = di * di + dq * dq
         if first:
-            mag[: spec.halo] = 0
+            mag[: spec.halo_staged] = 0
         cs = np.concatenate([np.zeros(1, np.int64), np.cumsum(mag)])
         lp = w + pl - sl
-        f = 2 * cs[cl : cl + lp] - cs[:lp] - cs[sl : sl + lp]
+        f = (
+            2 * cs[ps + cl : ps + cl + lp]
+            - cs[ps : ps + lp]
+            - cs[ps + sl : ps + sl + lp]
+        )
         bits = (f >= 0).astype(np.uint8)
         if first:
             bits[:pl] = 0
@@ -389,7 +413,9 @@ class WindowDecoder:
         q6 = None
         if spec.wants_r900:
             lq = w + pl - 2 * sl
-            c = [cs[sl + i * cl : sl + i * cl + lq] for i in range(5)]
+            c = [
+                cs[ps + sl + i * cl : ps + sl + i * cl + lq] for i in range(5)
+            ]
             a0 = 2 * c[2] - c[4] - c[0]
             a1 = 2 * c[1] - 2 * c[2] + 2 * c[3] - c[4] - c[0]
             a2 = 2 * c[1] - 2 * c[3] + c[4] - c[0]

@@ -30,7 +30,13 @@ _lock = threading.Lock()
 
 
 def _build() -> Optional[str]:
-    """Compile src/ingest.cpp -> _ingest.so. Returns an error string or None."""
+    """Compile src/ingest.cpp -> _ingest.so. Returns an error string or None.
+
+    Compiles to a per-pid temporary and os.rename()s into place so two
+    processes building concurrently (e.g. pytest + CLI) can never dlopen a
+    half-written .so — rename is atomic on POSIX.
+    """
+    tmp_path = f"{_LIB_PATH}.{os.getpid()}"
     cmd = [
         "g++",
         "-std=c++17",
@@ -40,7 +46,7 @@ def _build() -> Optional[str]:
         "-pthread",
         _SRC,
         "-o",
-        _LIB_PATH,
+        tmp_path,
     ]
     try:
         proc = subprocess.run(
@@ -49,7 +55,12 @@ def _build() -> Optional[str]:
     except (OSError, subprocess.TimeoutExpired) as e:
         return f"g++ unavailable: {e}"
     if proc.returncode != 0:
+        try:
+            os.unlink(tmp_path)
+        except OSError:
+            pass
         return f"g++ failed: {proc.stderr[-2000:]}"
+    os.rename(tmp_path, _LIB_PATH)
     return None
 
 
@@ -200,7 +211,13 @@ class NativeRtlTcpClient:
     # -- sample stream --------------------------------------------------------
 
     def read_samples(self, n_bytes: int, deadline: float = 5.0) -> np.ndarray:
-        """Read exactly n_bytes of u8 IQ with a deadline (main.go:168-186)."""
+        """Read exactly n_bytes of u8 IQ with a deadline (main.go:168-186).
+
+        Raises OSError on deadline, EOFError when the connection closes
+        before n_bytes arrive (matching RtlTcpClient.read_samples — a short
+        buffered tail at EOF is discarded just as the reference's partial
+        final block is, main.go:178-186).
+        """
         assert self._h is not None, "not connected"
         out = np.empty(n_bytes, np.uint8)
         timed_out = ctypes.c_int(0)
@@ -214,9 +231,8 @@ class NativeRtlTcpClient:
         if got < n_bytes:
             if timed_out.value:
                 raise OSError("rtl_tcp read deadline exceeded")
-            if got <= 0:
-                raise EOFError("rtl_tcp: connection closed")
-        return out[:got]
+            raise EOFError("rtl_tcp: connection closed")
+        return out
 
     def stats(self) -> Tuple[int, int, int]:
         """(bytes_total, bytes_dropped, bytes_buffered)."""

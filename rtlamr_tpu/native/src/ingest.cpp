@@ -50,6 +50,10 @@ class Ring {
     std::unique_lock<std::mutex> lk(mu_);
     size_t space = cap_ - size_;
     size_t take = n < space ? n : space;
+    // Drop only whole I/Q byte pairs: a partial drop must leave an even
+    // number of bytes dropped, or the rest of the session pairs I of one
+    // sample with Q of the next.
+    if (take < n && ((n - take) & 1)) take -= 1;
     for (size_t i = 0; i < take; ++i) {
       buf_[(head_ + size_ + i) % cap_] = data[i];
     }
@@ -127,6 +131,22 @@ struct Conn {
   std::atomic<uint64_t> bytes_total{0};
   std::atomic<uint64_t> bytes_dropped{0};
   std::atomic<bool> stop{false};
+
+  // A handle abandoned without ingest_close (e.g. an exception between
+  // connect and source wiring) must still stop and join its reader thread:
+  // destroying a joinable std::thread calls std::terminate, which would
+  // abort the process during static destruction of g_conns.
+  ~Conn() {
+    stop.store(true);
+    if (fd >= 0) {
+      ::shutdown(fd, SHUT_RDWR);
+    }
+    if (reader.joinable()) reader.join();
+    if (fd >= 0) {
+      ::close(fd);
+      fd = -1;
+    }
+  }
 };
 
 struct FileMap {
@@ -293,10 +313,7 @@ int rtlamr_ingest_close(int64_t h) {
     conn = std::move(it->second);
     g_conns.erase(it);
   }
-  conn->stop.store(true);
-  ::shutdown(conn->fd, SHUT_RDWR);
-  if (conn->reader.joinable()) conn->reader.join();
-  ::close(conn->fd);
+  conn.reset();  // ~Conn stops the reader, joins it, and closes the fd
   return 0;
 }
 

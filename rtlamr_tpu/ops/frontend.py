@@ -39,7 +39,7 @@ from __future__ import annotations
 
 import functools
 from dataclasses import dataclass
-from typing import Dict, List, Sequence, Tuple
+from typing import Dict, List, NamedTuple, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -47,6 +47,12 @@ import numpy as np
 
 from ..protocols.base import DecoderConfig
 from ..protocols.r900 import PAYLOAD_SYMBOLS
+
+#: Lane width of the TPU vector unit; 1D streams are viewed as (rows, 128).
+LANES = 128
+#: Staged-buffer alignment in samples. The staged halo is rounded up to this
+#: so every Pallas tile's DMA starts on an (8, 128)-aligned row boundary.
+ALIGN = 1024
 
 
 @dataclass(frozen=True)
@@ -86,6 +92,9 @@ class FrontendSpec:
     #: nonzero only over those gathered rows. Windows touching more rows than
     #: this escalate exactly like gather_hits overflow.
     gather_rows: int = 1024
+    #: rows (of 128 samples) per Pallas tile; also fixes the staged-buffer
+    #: geometry shared by both backends (see :func:`staged_geometry`).
+    tile_rows: int = 1024
 
     @property
     def halo(self) -> int:
@@ -94,6 +103,109 @@ class FrontendSpec:
     @property
     def total_samples(self) -> int:
         return self.halo + self.window
+
+    @property
+    def pad_shift(self) -> int:
+        """Left padding that aligns the staged halo to ALIGN samples."""
+        return -self.halo % ALIGN
+
+    @property
+    def halo_staged(self) -> int:
+        return self.halo + self.pad_shift
+
+    @property
+    def staged_samples(self) -> int:
+        """Length (in samples == u16 elements) of a staged window buffer."""
+        return staged_geometry(self).staged_samples
+
+
+class StagedGeometry(NamedTuple):
+    """Static layout of the staged u16 window buffer and the Pallas grid.
+
+    The staged buffer holds ``staged_samples`` u16 elements (one interleaved
+    IQ byte-pair each, little-endian: I in the low byte). Index ``s`` holds
+    the stream sample ``window_start - halo_staged + s``; indices past
+    ``halo_staged + window`` are zero tail padding so every tile's
+    fixed-size DMA stays in bounds. Contents of ``[0, pad_shift)`` are never
+    read (every stencil read is offset by ``pad_shift``).
+    """
+
+    lp: int  # bit-stream positions needed (window + packet - symbol)
+    lq: int  # R900 6-ary stream positions needed
+    pre_reach: int  # deepest bit offset read by the correlation bank
+    r_out: int  # output rows per tile
+    r_bits: int  # rows of the extended bit stream computed per tile
+    r_in: int  # input rows DMA'd per tile
+    n_tiles: int
+    staged_rows: int
+    staged_samples: int
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+@functools.lru_cache(maxsize=None)
+def staged_geometry(spec: "FrontendSpec") -> StagedGeometry:
+    sl = spec.symbol_length
+    cl = spec.chip_length
+    w = spec.window
+    lp = w + spec.packet_length - sl
+    lq = w + spec.packet_length - 2 * sl
+    max_pre_bits = max(len(g.bits) for g in spec.groups)
+    pre_reach = (max_pre_bits - 1) * sl
+
+    r_out = min(spec.tile_rows, _round_up(-(-lp // LANES), 8))
+    n_tiles = -(-lp // (r_out * LANES))
+    r_bits = r_out + -(-pre_reach // LANES) + 1
+    # Deepest staged-sample read past a tile's first output position:
+    # correlation bits (via the Manchester stencil) and the R900 bank.
+    need = max(
+        r_bits * LANES + sl + spec.pad_shift,
+        r_out * LANES + sl + 4 * cl + spec.pad_shift,
+    )
+    r_in = _round_up(-(-need // LANES) + 1, 8)
+    staged_rows = (n_tiles - 1) * r_out + r_in
+    # The staged buffer must also hold the full live content.
+    staged_rows = max(staged_rows, -(-(spec.halo_staged + w) // LANES))
+    staged_rows = _round_up(staged_rows, 8)
+    return StagedGeometry(
+        lp=lp,
+        lq=lq,
+        pre_reach=pre_reach,
+        r_out=r_out,
+        r_bits=r_bits,
+        r_in=r_in,
+        n_tiles=n_tiles,
+        staged_rows=staged_rows,
+        staged_samples=staged_rows * LANES,
+    )
+
+
+def stage_iq(spec: FrontendSpec, iq: jnp.ndarray) -> jnp.ndarray:
+    """Traceable u8 interleaved IQ -> staged u16 buffer.
+
+    ``iq`` is ``(2 * total_samples,)`` uint8 covering stream samples
+    ``[window_start - halo, window_start + window)``; it lands at staged
+    offset ``pad_shift``. The pad region is never read. Hosts with the bytes
+    already in memory should instead build the staged buffer directly with
+    ``np.ndarray.view(np.uint16)`` (zero-copy) — this helper exists for
+    callers holding device arrays (mesh shards, conformance tests).
+    """
+    geo = staged_geometry(spec)
+    u16 = jax.lax.bitcast_convert_type(iq.reshape(-1, 2), jnp.uint16)
+    out = jnp.zeros(geo.staged_samples, jnp.uint16)
+    return jax.lax.dynamic_update_slice(out, u16, (spec.pad_shift,))
+
+
+def stage_host(spec: FrontendSpec, iq: np.ndarray) -> np.ndarray:
+    """Host-side staging: u8 interleaved IQ bytes -> staged u16 buffer."""
+    geo = staged_geometry(spec)
+    iq = np.ascontiguousarray(np.asarray(iq, np.uint8))
+    out = np.zeros(geo.staged_samples, np.uint16)
+    u16 = iq.view(np.uint16)
+    out[spec.pad_shift : spec.pad_shift + u16.size] = u16
+    return out
 
 
 def make_frontend_spec(
@@ -116,7 +228,10 @@ def make_frontend_spec(
             )
         )
     window = window_blocks * cfg.block_size
+    # Preamble hits form plateaus ~ChipLength positions wide per packet, so
+    # the raw-hit gather needs ~CL x the distinct-candidate capacity.
     gather_hits = min(max(4 * max_hits, 4096), window)
+    lp_rows = -(-(window + cfg.packet_length) // LANES)
     return FrontendSpec(
         chip_length=cfg.chip_length,
         symbol_length=cfg.symbol_length,
@@ -133,18 +248,10 @@ def make_frontend_spec(
         # escalates to a larger program variant, then to the exact host path.
         gather_hits=gather_hits,
         gather_rows=min(max(gather_hits // 4, 1024), window // 128),
+        # 512 rows (65,536 positions) per Pallas tile: the largest tile whose
+        # int32 stencil temporaries fit Mosaic's 16MB scoped-VMEM stack.
+        tile_rows=min(512, _round_up(lp_rows, 8)),
     )
-
-
-def _magnitude(iq: jnp.ndarray) -> jnp.ndarray:
-    """Exact-integer squared magnitude: (255-2i)^2 + (255-2q)^2 (int32).
-
-    Equals 255^2 * (lut[i] + lut[q]) of decode.go:209-225 exactly.
-    """
-    v = iq.astype(jnp.int32)
-    d = 255 - 2 * v
-    sq = d * d
-    return sq[0::2] + sq[1::2]
 
 
 def _cumsum0(x: jnp.ndarray) -> jnp.ndarray:
@@ -172,25 +279,35 @@ def decode_core(spec: FrontendSpec, iq: jnp.ndarray, first: jnp.ndarray):
       bytes[g]:  (K, ceil(S_g/8)) uint8 MSB-first packed packet symbols
       symbols[g] (R900 groups only): (K, 42) uint8 4-ary payload symbols
     """
-    bits, q6, mask2d = frontend_stage(spec, iq, first)
+    return decode_core_staged(spec, stage_iq(spec, iq), first)
+
+
+def decode_core_staged(spec: FrontendSpec, staged: jnp.ndarray, first):
+    """decode_core over a pre-staged u16 buffer (see :class:`StagedGeometry`)."""
+    bits, q6, mask2d = frontend_stage_staged(spec, staged, first)
     return search_slice(spec, bits, q6, mask2d)
 
 
-def frontend_stage(spec: FrontendSpec, iq: jnp.ndarray, first: jnp.ndarray):
+def frontend_stage_staged(spec: FrontendSpec, staged: jnp.ndarray, first):
     """Stencil stage: magnitude -> matched filters -> quantized streams ->
     preamble correlation bank.
 
     Returns (bits, q6, mask2d): bits is the window's slice of the padded bit
-    stream P (length window + PacketLength - SymbolLength); q6 is the R900
+    stream P (length >= window + PacketLength - SymbolLength); q6 is the R900
     6-ary stream on the same index convention (or None); mask2d is the
     (window/128, 128) u8 per-position preamble-hit bitmask (bit g = group g).
     """
     if spec.backend == "pallas":
-        from .pallas_frontend import frontend_pallas
+        from .pallas_frontend import frontend_pallas_staged
 
-        return frontend_pallas(spec, iq, first)
-    bits, q6 = bits_q6_jnp(spec, iq, first)
+        return frontend_pallas_staged(spec, staged, first)
+    bits, q6 = _bits_q6_jnp_staged(spec, staged, first)
     return bits, q6, _masks_jnp(spec, bits)
+
+
+def frontend_stage(spec: FrontendSpec, iq: jnp.ndarray, first: jnp.ndarray):
+    """:func:`frontend_stage_staged` over u8 interleaved IQ (compat)."""
+    return frontend_stage_staged(spec, stage_iq(spec, iq), first)
 
 
 def bits_q6(spec: FrontendSpec, iq: jnp.ndarray, first: jnp.ndarray):
@@ -220,26 +337,38 @@ def _masks_jnp(spec: FrontendSpec, bits: jnp.ndarray) -> jnp.ndarray:
 
 
 def bits_q6_jnp(spec: FrontendSpec, iq: jnp.ndarray, first: jnp.ndarray):
+    """Quantized streams from u8 interleaved IQ (compat/testing wrapper)."""
+    return _bits_q6_jnp_staged(spec, stage_iq(spec, iq), first)
+
+
+def _bits_q6_jnp_staged(spec: FrontendSpec, staged: jnp.ndarray, first):
     cl = spec.chip_length
     sl = spec.symbol_length
     pl = spec.packet_length
-    w = spec.window
-    halo = spec.halo
+    ps = spec.pad_shift
+    geo = staged_geometry(spec)
 
-    mag = _magnitude(iq)  # (halo + w,) int32
+    # Exact-integer squared magnitude (255-2i)^2 + (255-2q)^2 — equals
+    # 255^2 * (lut[i] + lut[q]) of decode.go:209-225 exactly. The staged u16
+    # element packs one interleaved byte pair (I low, Q high).
+    v = staged.astype(jnp.int32)
+    di = 255 - 2 * (v & 255)
+    dq = 255 - 2 * (v >> 8)
+    mag = di * di + dq * dq
     # First window: reference history buffers start zeroed (decode.go:144).
     pos = jax.lax.broadcasted_iota(jnp.int32, mag.shape, 0)
-    mag = jnp.where(jnp.logical_and(first, pos < halo), 0, mag)
+    mag = jnp.where(jnp.logical_and(first, pos < spec.halo_staged), 0, mag)
 
     cs = _cumsum0(mag)
 
     # Manchester matched filter + 1-bit quantize (decode.go:229-245):
-    # f[q] = 2*cs[q+CL] - cs[q] - cs[q+SL]; bit = f >= 0.
-    lp = w + pl - sl  # P positions needed: search [0, w) + slice lookahead
+    # f[q] = 2*cs[q+CL] - cs[q] - cs[q+SL]; bit = f >= 0. Every staged read
+    # is offset by pad_shift (bit q maps to staged sample q + pad_shift).
+    lp = geo.lp  # P positions needed: search [0, w) + slice lookahead
     f = (
-        2 * jax.lax.dynamic_slice(cs, (cl,), (lp,))
-        - jax.lax.dynamic_slice(cs, (0,), (lp,))
-        - jax.lax.dynamic_slice(cs, (sl,), (lp,))
+        2 * jax.lax.dynamic_slice(cs, (ps + cl,), (lp,))
+        - jax.lax.dynamic_slice(cs, (ps,), (lp,))
+        - jax.lax.dynamic_slice(cs, (ps + sl,), (lp,))
     )
     bits = (f >= 0).astype(jnp.uint8)
     # Force the initial PacketLength zero bits of the stream (decode.go:145).
@@ -250,9 +379,10 @@ def bits_q6_jnp(spec: FrontendSpec, iq: jnp.ndarray, first: jnp.ndarray):
     # same window-start index convention (offset +SL into local magnitude).
     q6 = None
     if spec.wants_r900:
-        lq = w + pl - 2 * sl
+        lq = geo.lq
         c = [
-            jax.lax.dynamic_slice(cs, (sl + i * cl,), (lq,)) for i in range(5)
+            jax.lax.dynamic_slice(cs, (ps + sl + i * cl,), (lq,))
+            for i in range(5)
         ]
         a0 = 2 * c[2] - c[4] - c[0]  # 1100
         a1 = 2 * c[1] - 2 * c[2] + 2 * c[3] - c[4] - c[0]  # 1010
@@ -402,6 +532,12 @@ def decode_window(spec: FrontendSpec, iq: jnp.ndarray, first: jnp.ndarray):
     return decode_core(spec, iq, first)
 
 
+@functools.partial(jax.jit, static_argnums=(0,))
+def decode_window_staged(spec: FrontendSpec, staged: jnp.ndarray, first):
+    """Jitted window decode over a pre-staged u16 buffer."""
+    return decode_core_staged(spec, staged, first)
+
+
 # ---------------------------------------------------------------------------
 # Result packing: device->host transfers have per-array latency (severe over
 # remote-relay transports), so the device flattens all outputs into ONE u8
@@ -454,6 +590,18 @@ def decode_window_packed(spec: FrontendSpec, iq: jnp.ndarray, first: jnp.ndarray
     return pack_results(decode_core(spec, iq, first))
 
 
+@functools.partial(jax.jit, static_argnums=(0,))
+def decode_window_staged_packed(spec: FrontendSpec, staged, first):
+    """Staged-input decode with all outputs flattened into one u8 buffer.
+
+    The production hot path: the host stages raw interleaved IQ bytes with a
+    zero-copy ``view(np.uint16)`` into the StagedGeometry layout, so the
+    device program starts directly at the fused stencil kernel with no
+    deinterleave/pad prologue.
+    """
+    return pack_results(decode_core_staged(spec, staged, first))
+
+
 def unpack_results(spec: FrontendSpec, buf: np.ndarray) -> Dict[str, object]:
     """Host-side unpack of the single result buffer into the dict layout."""
     buf = np.asarray(buf, np.uint8)
@@ -478,8 +626,8 @@ def unpack_results(spec: FrontendSpec, buf: np.ndarray) -> Dict[str, object]:
 def run_window(
     spec: FrontendSpec, iq: np.ndarray, first: bool
 ) -> Dict[str, object]:
-    """Host wrapper: single packed transfer, NumPy results."""
-    buf = decode_window_packed(
-        spec, jnp.asarray(iq, dtype=jnp.uint8), jnp.asarray(first)
+    """Host wrapper: zero-copy staging, single packed transfer, NumPy results."""
+    buf = decode_window_staged_packed(
+        spec, jnp.asarray(stage_host(spec, iq)), jnp.asarray(first)
     )
     return unpack_results(spec, np.asarray(buf))

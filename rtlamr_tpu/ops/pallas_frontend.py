@@ -2,7 +2,9 @@
 
 One pass over HBM replacing the jnp chain magnitude -> cumsum -> Manchester
 filter -> R900 filter bank -> preamble correlation (decode.go:199-348,
-r900/r900.go:82-150): each grid step DMAs a tile of raw u8 IQ into VMEM,
+r900/r900.go:82-150). Each grid step DMAs a tile of the staged u16 buffer
+(one interleaved IQ byte pair per element — see frontend.StagedGeometry)
+into VMEM, splits I/Q with shift/mask (no deinterleave gather anywhere),
 computes the exact-int32 magnitude, a tile-local 2D prefix sum (wrap-around
 int32; all filter outputs are zero-coefficient-sum combinations so both the
 wrap and the tile-local offset cancel), derives both quantized streams with
@@ -14,8 +16,10 @@ bit per preamble group.
 Layout: 1D sample streams are viewed as (rows, 128) lane-major tiles. A
 flattened shift by k = k_r*128 + k_c becomes a row slice + lane roll +
 row-boundary select (`_shifted`). Tiles overlap by the deepest stencil reach
-(preamble correlation, ~PreambleLength samples); the overlap is re-read from
-HBM per tile, a few percent of traffic.
+(preamble correlation, ~PreambleLength samples, plus the staged pad_shift);
+the overlap is re-read from HBM per tile, a few percent of traffic. All DMA
+starts are multiples of tile_rows, so the staged pad alignment keeps Mosaic's
+(8, 128) sublane tiling happy with zero XLA prologue work.
 
 The prefix sum itself avoids the (TPU-unlowerable, layout-hostile) 1D
 ``cumsum`` primitive: lane-axis inclusive scan via log2(128)=7 masked
@@ -30,17 +34,10 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .frontend import FrontendSpec
-
-LANES = 128
-
-
-def _round_up(x: int, m: int) -> int:
-    return -(-x // m) * m
+from .frontend import LANES, FrontendSpec, stage_iq, staged_geometry
 
 
 def _use_interpret() -> bool:
@@ -102,55 +99,53 @@ def _flat_cumsum(mag: jnp.ndarray) -> jnp.ndarray:
 
 def _kernel(
     spec: FrontendSpec,
-    r_out: int,
-    r_bits: int,
-    r_in: int,
     first_ref,
-    i_hbm,
-    q_hbm,
+    x_hbm,
     bits_ref,
     q6_ref,
     mask_ref,
-    i_vmem,
-    q_vmem,
+    x_vmem,
     sems,
 ):
+    geo = staged_geometry(spec)
     cl = spec.chip_length
     sl = spec.symbol_length
+    ps = spec.pad_shift
+    r_out, r_bits, r_in = geo.r_out, geo.r_bits, geo.r_in
     t = pl.program_id(0)
     tile = r_out * LANES  # output positions per tile
 
-    # DMA this tile's I and Q spans (overlapping reads between tiles).
-    copy_i = pltpu.make_async_copy(
-        i_hbm.at[pl.ds(t * r_out, r_in)], i_vmem, sems.at[0]
+    # DMA this tile's staged u16 span (row-aligned; overlapping tail re-read).
+    copy = pltpu.make_async_copy(
+        x_hbm.at[pl.ds(t * r_out, r_in)], x_vmem, sems.at[0]
     )
-    copy_q = pltpu.make_async_copy(
-        q_hbm.at[pl.ds(t * r_out, r_in)], q_vmem, sems.at[1]
-    )
-    copy_i.start()
-    copy_q.start()
-    copy_i.wait()
-    copy_q.wait()
+    copy.start()
+    copy.wait()
 
-    di = 255 - 2 * i_vmem[:].astype(jnp.int32)
-    dq = 255 - 2 * q_vmem[:].astype(jnp.int32)
-    mag = di * di + dq * dq  # exact-int magnitude (decode.go:209-225)
+    # Split the interleaved byte pair and square (decode.go:209-225, exact):
+    # staged element = I | (Q << 8) little-endian.
+    v = x_vmem[:].astype(jnp.int32)
+    di = 255 - 2 * (v & 255)
+    dq = 255 - 2 * (v >> 8)
+    mag = di * di + dq * dq
 
     # First window of a stream: zero history (decode.go:144-146). Magnitude
-    # positions below halo are masked to zero.
+    # at staged positions below halo_staged is masked to zero.
     first = first_ref[0, 0]
     base = t * tile
     row = jax.lax.broadcasted_iota(jnp.int32, (r_in, LANES), 0)
     col = jax.lax.broadcasted_iota(jnp.int32, (r_in, LANES), 1)
-    gpos = base + row * LANES + col
-    mag = jnp.where(jnp.logical_and(first != 0, gpos < spec.halo), 0, mag)
+    spos = base + row * LANES + col  # staged sample index
+    mag = jnp.where(
+        jnp.logical_and(first != 0, spos < spec.halo_staged), 0, mag
+    )
 
     cs = _flat_cumsum(mag)
     # Exclusive prefix E[j] = sum mag[:j] (tile-local; offset cancels).
     ex = cs - mag
 
-    def e(k, r=r_out):  # E at flat offset q + k for q in [0, r*128)
-        return _shifted(ex, k, r)
+    def e(k, r=r_out):  # E at staged offset q + pad_shift + k, q in [0, r*128)
+        return _shifted(ex, ps + k, r)
 
     # Manchester bits over the EXTENDED range r_bits (the correlation below
     # reads bits up to (PreambleSymbols-1)*SL past the tile's own output).
@@ -160,7 +155,7 @@ def _kernel(
     # Initial PacketLength zero bits of the stream (decode.go:145).
     brow = jax.lax.broadcasted_iota(jnp.int32, (r_bits, LANES), 0)
     bcol = jax.lax.broadcasted_iota(jnp.int32, (r_bits, LANES), 1)
-    bpos = base + brow * LANES + bcol
+    bpos = base + brow * LANES + bcol  # output bit position
     bits_ext = jnp.where(
         jnp.logical_and(first != 0, bpos < spec.packet_length),
         jnp.uint8(0),
@@ -169,17 +164,21 @@ def _kernel(
     bits_ref[:] = bits_ext[:r_out]
 
     # Preamble correlation bank (decode.go:255-348): mask bit g set iff
-    # group g's whole preamble matches at stride SL starting at q. All in
-    # int32 — the VPU has no 8-bit compares.
+    # group g's whole preamble matches at stride SL starting at q. Shifted
+    # bit segments are shared across groups (IDM/NetIDM/R900 all have
+    # 32-symbol preambles); all in int32 — the VPU has no 8-bit compares.
     opos = bpos[:r_out]
     bits32 = bits_ext.astype(jnp.int32)
+    max_pre = max(len(g.bits) for g in spec.groups)
+    accs = [jnp.ones((r_out, LANES), jnp.bool_) for _ in spec.groups]
+    for k in range(max_pre):
+        seg = _shifted(bits32, k * sl, r_out)
+        for g, group in enumerate(spec.groups):
+            if k < len(group.bits):
+                accs[g] = jnp.logical_and(accs[g], seg == group.bits[k])
     mask = jnp.zeros((r_out, LANES), jnp.int32)
-    for g, group in enumerate(spec.groups):
-        acc = jnp.ones((r_out, LANES), jnp.bool_)
-        for k, bit in enumerate(group.bits):
-            seg = _shifted(bits32, k * sl, r_out)
-            acc = jnp.logical_and(acc, seg == bit)
-        mask = mask | jnp.where(acc, jnp.int32(1 << g), jnp.int32(0))
+    for g in range(len(spec.groups)):
+        mask = mask | jnp.where(accs[g], jnp.int32(1 << g), jnp.int32(0))
     # Search positions exist only in [0, window).
     mask_ref[:] = jnp.where(opos < spec.window, mask, 0).astype(jnp.uint8)
 
@@ -206,79 +205,67 @@ def _kernel(
 
 
 @functools.partial(jax.jit, static_argnums=(0,))
-def frontend_pallas(
-    spec: FrontendSpec, iq: jnp.ndarray, first: jnp.ndarray
+def frontend_pallas_staged(
+    spec: FrontendSpec, staged: jnp.ndarray, first
 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray], jnp.ndarray]:
-    """Fused stencil stage: (bits, q6, mask2d).
+    """Fused stencil stage over the staged u16 buffer: (bits, q6, mask2d).
 
     bits: (window + PacketLength - SymbolLength,) u8 bit stream slice.
     q6:   R900 6-ary stream on the same index convention (or None).
     mask2d: (window/128, 128) u8; bit g = preamble-group-g hit at that
       search position.
     """
-    sl = spec.symbol_length
-    pl_ = spec.packet_length
-    w = spec.window
-    lp = w + pl_ - sl
-    lq = w + pl_ - 2 * sl
-
-    max_pre_bits = max(len(g.bits) for g in spec.groups)
-    pre_reach = (max_pre_bits - 1) * sl  # deepest bits read by correlation
-
-    # Tiles are whole (8, 128) vregs: Mosaic slices must be 8-row aligned.
-    tile = min(1 << 16, _round_up(lp, 8 * LANES))
-    n_tiles = -(-lp // tile)
-    r_out = tile // LANES
-    r_bits = r_out + _round_up(pre_reach, LANES) // LANES + 1
-    # ex must cover bits_ext reads (offset <= SL past r_bits) and the R900
-    # bank (offset <= 3*SL past r_out).
-    m_extra = _round_up(pre_reach + 3 * sl, 8 * LANES) + 2 * 8 * LANES
-    r_in = r_out + m_extra // LANES  # multiple of 8 (Mosaic slice tiling)
-
-    # Deinterleave + pad so every tile's overlapping read is in bounds.
-    need = n_tiles * tile + m_extra
-    i_plane = jnp.zeros(need, jnp.uint8).at[: iq.shape[0] // 2].set(iq[0::2])
-    q_plane = jnp.zeros(need, jnp.uint8).at[: iq.shape[0] // 2].set(iq[1::2])
-    i2d = i_plane.reshape(-1, LANES)
-    q2d = q_plane.reshape(-1, LANES)
-
+    geo = staged_geometry(spec)
     first_arr = jnp.asarray(first, jnp.int32).reshape(1, 1)
+    x2d = staged.reshape(-1, LANES)
 
-    kernel = functools.partial(_kernel, spec, r_out, r_bits, r_in)
+    kernel = functools.partial(_kernel, spec)
+    out_rows = geo.n_tiles * geo.r_out
     out2d = pl.pallas_call(
         kernel,
-        grid=(n_tiles,),
+        grid=(geo.n_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=[
-            pl.BlockSpec((r_out, LANES), lambda t: (t, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((r_out, LANES), lambda t: (t, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((r_out, LANES), lambda t: (t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (geo.r_out, LANES), lambda t: (t, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (geo.r_out, LANES), lambda t: (t, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (geo.r_out, LANES), lambda t: (t, 0), memory_space=pltpu.VMEM
+            ),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((n_tiles * r_out, LANES), jnp.uint8),
-            jax.ShapeDtypeStruct((n_tiles * r_out, LANES), jnp.uint8),
-            jax.ShapeDtypeStruct((n_tiles * r_out, LANES), jnp.uint8),
+            jax.ShapeDtypeStruct((out_rows, LANES), jnp.uint8),
+            jax.ShapeDtypeStruct((out_rows, LANES), jnp.uint8),
+            jax.ShapeDtypeStruct((out_rows, LANES), jnp.uint8),
         ],
         scratch_shapes=[
-            pltpu.VMEM((r_in, LANES), jnp.uint8),
-            pltpu.VMEM((r_in, LANES), jnp.uint8),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((geo.r_in, LANES), jnp.uint16),
+            pltpu.SemaphoreType.DMA((1,)),
         ],
         interpret=_use_interpret(),
-    )(first_arr, i2d, q2d)
+    )(first_arr, x2d)
     bits2d, q62d, mask2d = out2d
 
-    bits = bits2d.reshape(-1)[:lp]
-    q6 = q62d.reshape(-1)[:lq] if spec.wants_r900 else None
-    return bits, q6, mask2d[: w // LANES]
+    bits = bits2d.reshape(-1)[: geo.lp]
+    q6 = q62d.reshape(-1)[: geo.lq] if spec.wants_r900 else None
+    return bits, q6, mask2d[: spec.window // LANES]
+
+
+def frontend_pallas(
+    spec: FrontendSpec, iq: jnp.ndarray, first
+) -> Tuple[jnp.ndarray, Optional[jnp.ndarray], jnp.ndarray]:
+    """Fused stencil stage over u8 interleaved IQ (compat wrapper)."""
+    return frontend_pallas_staged(spec, stage_iq(spec, iq), first)
 
 
 def bits_q6_pallas(
-    spec: FrontendSpec, iq: jnp.ndarray, first: jnp.ndarray
+    spec: FrontendSpec, iq: jnp.ndarray, first
 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
     """Compatibility wrapper: (bits, q6) only (parity tests)."""
     bits, q6, _ = frontend_pallas(spec, iq, first)

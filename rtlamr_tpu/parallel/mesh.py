@@ -114,6 +114,13 @@ class MeshDecoder(WindowDecoder):
                 f"(window {self.spec.window} < halo {self.spec.halo})"
             )
         self._sharding = NamedSharding(self.mesh, P("x", None))
+        self.reset()
+
+    def reset(self) -> None:
+        super().reset()
+        # The mesh path carries raw u8 halo bytes (the shard body stages on
+        # device via decode_core), unlike WindowDecoder's staged u16 carry.
+        self._carry = np.zeros(2 * self.spec.halo, np.uint8)
 
     @property
     def window_bytes(self) -> int:  # feed() granularity: one super-window
@@ -161,8 +168,10 @@ class MeshDecoder(WindowDecoder):
                         iq_shards[shard],
                     ]
                 )
+                from ..ops.frontend import stage_host
+
                 shard_res = self._window_results_numpy(
-                    iq_full, self._first and shard == 0
+                    stage_host(spec, iq_full), self._first and shard == 0
                 )
             msgs.extend(
                 self._parse_window(shard_res, shard_valid, self._window_index)

@@ -244,6 +244,21 @@ class Parser:
         """
         raise NotImplementedError
 
+    def valid_mask(
+        self, data: np.ndarray, syms: Optional[np.ndarray]
+    ) -> np.ndarray:
+        """Vectorized candidate validity over a whole window.
+
+        ``data`` is the (N, nbytes) packed-packet matrix, ``syms`` the
+        (N, 42) R900 payload-symbol matrix (or None). Returns an (N,) bool
+        mask that must be a SUPERSET of the candidates :meth:`parse` would
+        turn into messages — the pipeline uses it to drop checksum-failing
+        candidates in one batched pass (crc/crc.go:49-55, r900/r900.go:215)
+        before any per-candidate Python work; :meth:`parse` remains the
+        semantic authority on the survivors.
+        """
+        return np.ones(data.shape[0], dtype=bool)
+
 
 # ---------------------------------------------------------------------------
 # Registry (protocol/parse.go:16-51)

@@ -181,6 +181,13 @@ class IDMParser(Parser):
     def _valid_id(self, msg: Message) -> bool:
         return msg.meter_id() != 0
 
+    def valid_mask(self, data, syms):
+        """Batched dual CCITT CRC: packet bytes[4:92] and serial-number
+        bytes[9:13] ++ bytes[88:90], both == residue (idm/idm.go:77-87)."""
+        pkt_ok = self.crc.checksum_batch(data[:, 4:92]) == self.crc.residue
+        serial = np.concatenate([data[:, 9:13], data[:, 88:90]], axis=1)
+        return pkt_ok & (self.crc.checksum_batch(serial) == self.crc.residue)
+
     def parse(self, candidates: Sequence[Candidate]) -> List[Message]:
         out: List[Message] = []
         seen = set()

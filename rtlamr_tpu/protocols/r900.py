@@ -146,6 +146,21 @@ class R900Parser(Parser):
     def __init__(self, chip_length: int):
         super().__init__(packet_config(chip_length))
 
+    def valid_mask(self, data, syms):
+        """Batched base-6 digit check + GF(32) RS syndrome (r900.go:199-221)."""
+        from ..utils.gf import rs_syndromes_batch
+
+        if syms is None:
+            return np.zeros(data.shape[0], dtype=bool)
+        digits = syms.astype(np.int64).reshape(syms.shape[0], 21, 2)
+        sym = digits[:, :, 0] * 6 + digits[:, :, 1]  # (N, 21)
+        in_range = ~(sym > 31).any(axis=1)
+        codewords = np.zeros((syms.shape[0], 31), dtype=np.uint8)
+        codewords[:, :16] = sym[:, :16] & 31
+        codewords[:, 26:] = sym[:, 16:] & 31
+        syn_ok = ~rs_syndromes_batch(codewords, 5, 29).any(axis=1)
+        return in_range & syn_ok
+
     def _wrap(self, msg: R900) -> Message:
         return msg
 

@@ -44,6 +44,9 @@ class SCM(Message):
     Consumption: int
     ChecksumVal: int
 
+    #: xml:"Checksum,attr" (scm/scm.go:100); JSON keeps ChecksumVal.
+    XML_RENAMES = {"ChecksumVal": "Checksum"}
+
     def msg_type(self) -> str:
         return "SCM"
 
@@ -101,6 +104,10 @@ class SCMParser(Parser):
     def __init__(self, chip_length: int):
         super().__init__(packet_config(chip_length))
         self.crc = CRC("BCH", 0, 0x6F63, 0)
+
+    def valid_mask(self, data, syms):
+        """Batched BCH CRC over bytes[2:12] == 0 (scm/scm.go:76)."""
+        return self.crc.checksum_batch(data[:, 2:12]) == 0
 
     def parse(self, candidates: Sequence[Candidate]) -> List[Message]:
         out: List[Message] = []

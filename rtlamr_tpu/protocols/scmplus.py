@@ -44,6 +44,10 @@ class SCMPlus(Message):
     Tamper: int
     PacketCRC: int
 
+    #: xml:"Checksum,attr" (scmplus/scmplus.go:102); the json tag there is
+    #: malformed Go struct-tag syntax, so JSON keeps PacketCRC.
+    XML_RENAMES = {"PacketCRC": "Checksum"}
+
     def msg_type(self) -> str:
         return "SCM+"
 
@@ -106,6 +110,10 @@ class SCMPlusParser(Parser):
     def __init__(self, chip_length: int):
         super().__init__(packet_config(chip_length))
         self.crc = CRC("CCITT", 0xFFFF, 0x1021, 0x1D0F)
+
+    def valid_mask(self, data, syms):
+        """Batched CCITT CRC over bytes[2:] == residue (scmplus.go:77)."""
+        return self.crc.checksum_batch(data[:, 2:16]) == self.crc.residue
 
     def parse(self, candidates: Sequence[Candidate]) -> List[Message]:
         out: List[Message] = []

@@ -1,0 +1,162 @@
+"""Micro-probes separating prologue / kernel / transfer / dispatch costs."""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+
+LANES = 128
+N = 8 * 1024 * 1024  # samples per window (~8.4 MS)
+
+
+def timeit(fn, n=5, warmup=2):
+    for _ in range(warmup):
+        jax.block_until_ready(fn())
+    t0 = time.perf_counter()
+    for _ in range(n):
+        out = fn()
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / n
+
+
+def report(name, t, ms_div=N):
+    print(f"{name:28s} {t*1e3:9.2f} ms  ({ms_div / t / 1e6:8.0f} MS/s)", file=sys.stderr)
+
+
+def main():
+    rng = np.random.default_rng(0)
+    iq_host = rng.integers(0, 256, 2 * N).astype(np.uint8)
+    iq = jax.block_until_ready(jax.device_put(jnp.asarray(iq_host)))
+
+    # 0. dispatch latency: trivial jitted op
+    @jax.jit
+    def trivial(x):
+        return x[:8] + 1
+
+    report("dispatch(trivial)", timeit(lambda: trivial(iq), n=20))
+
+    # 0b. D2H of small buffers
+    small = jax.block_until_ready(jnp.zeros(1024, jnp.uint8))
+    mid = jax.block_until_ready(jnp.zeros(64 * 1024, jnp.uint8))
+    big = jax.block_until_ready(jnp.zeros(1024 * 1024, jnp.uint8))
+    report("D2H 1KB", timeit(lambda: np.asarray(small), n=10))
+    report("D2H 64KB", timeit(lambda: np.asarray(mid), n=10))
+    report("D2H 1MB", timeit(lambda: np.asarray(big), n=10))
+
+    # 1. deinterleave prologue as committed (strided .at[].set)
+    @jax.jit
+    def deint_strided(iq):
+        i_plane = jnp.zeros(N, jnp.uint8).at[: iq.shape[0] // 2].set(iq[0::2])
+        q_plane = jnp.zeros(N, jnp.uint8).at[: iq.shape[0] // 2].set(iq[1::2])
+        return i_plane.reshape(-1, LANES), q_plane.reshape(-1, LANES)
+
+    report("deint strided u8", timeit(lambda: deint_strided(iq)))
+
+    # 2. u16-bitcast deinterleave
+    @jax.jit
+    def deint_u16(iq):
+        u16 = jax.lax.bitcast_convert_type(iq.reshape(-1, 2), jnp.uint16)
+        v = u16.astype(jnp.int32)
+        return (v & 255).astype(jnp.uint8), (v >> 8).astype(jnp.uint8)
+
+    report("deint u16-bitcast", timeit(lambda: deint_u16(iq)))
+
+    # 2b. mag directly from u16 view (whole-array XLA, no pallas)
+    @jax.jit
+    def mag_u16(iq):
+        u16 = jax.lax.bitcast_convert_type(iq.reshape(-1, 2), jnp.uint16)
+        v = u16.astype(jnp.int32)
+        di = 255 - 2 * (v & 255)
+        dq = 255 - 2 * (v >> 8)
+        return di * di + dq * dq
+
+    report("mag via u16 (XLA)", timeit(lambda: mag_u16(iq)))
+
+    # 3. mag-only pallas kernel, input ALREADY deinterleaved in HBM
+    i2d = jax.block_until_ready(jnp.asarray(iq_host[0::2]).reshape(-1, LANES))
+    q2d = jax.block_until_ready(jnp.asarray(iq_host[1::2]).reshape(-1, LANES))
+
+    for r_out in (512, 2048, 8192):
+        n_tiles = N // LANES // r_out
+        r_in = r_out + 48
+
+        def kernel(i_hbm, q_hbm, out_ref, i_vmem, q_vmem, sems):
+            t = pl.program_id(0)
+            ci = pltpu.make_async_copy(i_hbm.at[pl.ds(t * r_out, r_in)], i_vmem, sems.at[0])
+            cq = pltpu.make_async_copy(q_hbm.at[pl.ds(t * r_out, r_in)], q_vmem, sems.at[1])
+            ci.start(); cq.start(); ci.wait(); cq.wait()
+            di = 255 - 2 * i_vmem[:].astype(jnp.int32)
+            dq = 255 - 2 * q_vmem[:].astype(jnp.int32)
+            mag = di * di + dq * dq
+            out_ref[:] = (mag[:r_out] & 1).astype(jnp.uint8)
+
+        @jax.jit
+        def run(i2d, q2d, _r_out=r_out, _r_in=r_in, _n_tiles=n_tiles, _kernel=kernel):
+            pad = jnp.zeros((_r_in, LANES), jnp.uint8)
+            i_p = jnp.concatenate([i2d, pad])
+            q_p = jnp.concatenate([q2d, pad])
+            return pl.pallas_call(
+                _kernel,
+                grid=(_n_tiles,),
+                in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2,
+                out_specs=[pl.BlockSpec((_r_out, LANES), lambda t: (t, 0), memory_space=pltpu.VMEM)],
+                out_shape=[jax.ShapeDtypeStruct((_n_tiles * _r_out, LANES), jnp.uint8)],
+                scratch_shapes=[
+                    pltpu.VMEM((_r_in, LANES), jnp.uint8),
+                    pltpu.VMEM((_r_in, LANES), jnp.uint8),
+                    pltpu.SemaphoreType.DMA((2,)),
+                ],
+            )(i_p, q_p)
+
+        report(f"pallas mag r_out={r_out}", timeit(lambda: run(i2d, q2d)))
+
+    # 4. mag kernel reading interleaved u16 rows directly (no prologue at all)
+    u16_2d = jax.block_until_ready(
+        jax.lax.bitcast_convert_type(iq.reshape(-1, 2), jnp.uint16).reshape(-1, LANES)
+    )
+    for r_out in (2048, 8192):
+        n_tiles = N // LANES // r_out
+        r_in = r_out + 48
+
+        def kernel16(x_hbm, out_ref, x_vmem, sems):
+            t = pl.program_id(0)
+            c = pltpu.make_async_copy(x_hbm.at[pl.ds(t * r_out, r_in)], x_vmem, sems.at[0])
+            c.start(); c.wait()
+            v = x_vmem[:].astype(jnp.int32)
+            di = 255 - 2 * (v & 255)
+            dq = 255 - 2 * (v >> 8)
+            mag = di * di + dq * dq
+            out_ref[:] = (mag[:r_out] & 1).astype(jnp.uint8)
+
+        @jax.jit
+        def run16(x2d, _r_out=r_out, _r_in=r_in, _n_tiles=n_tiles, _kernel=kernel16):
+            pad = jnp.zeros((_r_in, LANES), jnp.uint16)
+            x_p = jnp.concatenate([x2d, pad])
+            return pl.pallas_call(
+                _kernel,
+                grid=(_n_tiles,),
+                in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+                out_specs=[pl.BlockSpec((_r_out, LANES), lambda t: (t, 0), memory_space=pltpu.VMEM)],
+                out_shape=[jax.ShapeDtypeStruct((_n_tiles * _r_out, LANES), jnp.uint8)],
+                scratch_shapes=[
+                    pltpu.VMEM((_r_in, LANES), jnp.uint16),
+                    pltpu.SemaphoreType.DMA((1,)),
+                ],
+            )(x_p)
+
+        report(f"pallas mag u16 r_out={r_out}", timeit(lambda: run16(u16_2d)))
+
+
+if __name__ == "__main__":
+    main()
