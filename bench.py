@@ -74,11 +74,12 @@ def main() -> None:
     spec = dec.spec
     geo = staged_geometry(spec)
     w = spec.window
-    n_windows = 4
+    n_windows = 8  # scan-batch size: one program + one fetch per 8 windows
     iq = build_capture(dec.cfg, n_windows, w, spec.halo)
 
     # Stage the capture once into HBM in the u16 StagedGeometry layout:
-    # zero-copy u16 view of the raw interleaved bytes, placed at pad_shift.
+    # zero-copy u16 view of the raw interleaved bytes, placed at pad_shift,
+    # stacked into the (K, staged_samples) batch the scan program consumes.
     print(
         f"staging {iq.size / 2 / 1e6:.1f} MS capture "
         f"({n_windows} windows of {w} samples, backend={backend})...",
@@ -89,31 +90,28 @@ def main() -> None:
     )
     u16 = iq.view(np.uint16)
     full[spec.pad_shift : spec.pad_shift + u16.size] = u16
-    capture_dev = jax.device_put(jnp.asarray(full))
-    jax.block_until_ready(capture_dev)
-    staged = [
-        jax.lax.dynamic_slice(capture_dev, (i * w,), (geo.staged_samples,))
-        for i in range(n_windows)
-    ]
-    staged = [jax.block_until_ready(s) for s in staged]
+    batch = np.stack(
+        [full[i * w : i * w + geo.staged_samples] for i in range(n_windows)]
+    )
+    batch_dev = jax.block_until_ready(jax.device_put(jnp.asarray(batch)))
 
     # Warmup: compile, run one full cycle, and absorb the transport's
     # first-transfer initialization stall.
-    np.asarray(staged[0][:8])
+    np.asarray(batch_dev[0, :8])
     dec.reset()
     dec._first = False  # halos are staged, not zero-history
-    warm = dec.decode_staged(staged[:2])
+    warm = dec.decode_staged_batch(batch_dev)
     print(f"warmup done: {len(warm)} msgs", file=sys.stderr)
 
-    # Timed loop: cycle the staged windows through the live pipeline
-    # (device program + packed result fetch + host parse each window).
+    # Timed loop: cycle the staged batch through the live pipeline (batched
+    # device program + one packed fetch + host parse per window).
     dec.reset()
     dec._first = False
     n_iter = 0
     decoded = 0
     start = time.perf_counter()
     while True:
-        msgs = dec.decode_staged(staged, drain=False)
+        msgs = dec.decode_staged_batch(batch_dev, drain=False)
         decoded += len(msgs)
         n_iter += n_windows
         elapsed = time.perf_counter() - start

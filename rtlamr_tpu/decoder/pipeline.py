@@ -128,6 +128,11 @@ class WindowDecoder:
         if self._inflight is None:
             return []
         inflight, self._inflight = self._inflight, None
+        return self._complete_inflight(inflight)
+
+    def _complete_inflight(self, inflight) -> List[Tuple[int, Message]]:
+        if isinstance(inflight[1], list):  # batched (decode_staged_batch)
+            return self._complete_batch(*inflight)
         return self._complete_window(*inflight)
 
     def decode_staged(
@@ -153,10 +158,61 @@ class WindowDecoder:
             self._window_index += 1
             if self._inflight is not None:
                 prev, self._inflight = self._inflight, None
-                out.extend(self._complete_window(*prev))
+                out.extend(self._complete_inflight(prev))
             self._inflight = (buf, meta)
         if drain:
             out.extend(self.drain())
+        return out
+
+    def decode_staged_batch(
+        self, staged_batch, drain: bool = True
+    ) -> List[Tuple[int, Message]]:
+        """Decode a (K, staged_samples) u16 device batch in ONE program.
+
+        The scan-batched program (ops/frontend.decode_windows_scan) pays the
+        transport's fixed per-execution sync cost once per K windows. Keeps
+        the one-deep dispatch-ahead pipeline across batches: batch i+1's
+        device compute overlaps batch i's fetch + host parse.
+        """
+        import jax.numpy as jnp
+
+        from ..ops.frontend import decode_windows_scan
+
+        spec = self.spec
+        k = int(staged_batch.shape[0])
+        firsts_host = [self._first] + [False] * (k - 1)
+        packed = decode_windows_scan(
+            spec, staged_batch, jnp.asarray(firsts_host)
+        )
+        metas = [
+            (staged_batch, i, firsts_host[i], None, self._window_index + i)
+            for i in range(k)
+        ]
+        self._first = False
+        self._window_index += k
+
+        out: List[Tuple[int, Message]] = []
+        if self._inflight is not None:
+            prev, self._inflight = self._inflight, None
+            out.extend(self._complete_inflight(prev))
+        self._inflight = (packed, metas)
+        if drain:
+            out.extend(self.drain())
+        return out
+
+    def _complete_batch(self, packed, metas) -> List[Tuple[int, Message]]:
+        host = np.asarray(packed)  # ONE fetch for the whole batch
+        out: List[Tuple[int, Message]] = []
+        for i, meta in enumerate(metas):
+            staged_batch, k, first, valid_blocks, window_index = meta
+            # Lazy slice: only materialized if this window overflows and
+            # needs the escalation re-decode.
+            thunk = (lambda sb=staged_batch, kk=k: sb[kk])
+            out.extend(
+                self._complete_window(
+                    host[i], (thunk, first, valid_blocks, window_index)
+                )
+            )
         return out
 
     def decode_capture(
@@ -220,7 +276,7 @@ class WindowDecoder:
         msgs: List[Tuple[int, Message]] = []
         if self._inflight is not None:
             prev, self._inflight = self._inflight, None
-            msgs = self._complete_window(*prev)
+            msgs = self._complete_inflight(prev)
         self._inflight = (buf, meta)
         return msgs
 
@@ -233,6 +289,8 @@ class WindowDecoder:
         if self._overflowed(res, spec):
             # Escalate: re-decode this window with a high-capacity program
             # variant (compiled lazily, cached); exact host path last.
+            if callable(staged):  # lazy batch slice (decode_staged_batch)
+                staged = staged()
             self.metrics.hit_overflows += 1
             big = self._big_spec()
             import jax.numpy as jnp
@@ -334,22 +392,35 @@ class WindowDecoder:
                 syms = syms[valid]
             # Candidates are equivalent for every parser in the group when
             # their dedup key matches: the 4-ary symbols for R900 groups
-            # (r900/r900.go:209), the packed packet bytes otherwise.
+            # (r900/r900.go:209), the packed packet bytes otherwise. Dedup
+            # per block via byte-keys (first occurrence kept, ascending
+            # order preserved — the parsers' own seen maps remain the
+            # semantic authority, scm/scm.go:62-74).
             key_mat = syms if gspec.wants_r900 else data
-            for b in np.unique(b_arr):
-                sel = np.nonzero(b_arr == b)[0]
-                _, first_pos = np.unique(
-                    key_mat[sel], axis=0, return_index=True
-                )
-                cands = [
+            cur_b = -1
+            seen_keys = set()
+            cands: List[Candidate] = []
+            for i in range(idx.shape[0]):
+                b = int(b_arr[i])
+                if b != cur_b:
+                    if cands:
+                        by_block.setdefault(cur_b, {})[g] = cands
+                    cur_b = b
+                    seen_keys = set()
+                    cands = []
+                key = key_mat[i].tobytes()
+                if key in seen_keys:
+                    continue
+                seen_keys.add(key)
+                cands.append(
                     Candidate(
-                        idx=int(idx[sel[i]]) - int(b) * bs,
-                        packed=data[sel[i]],
-                        r900_symbols=syms[sel[i]] if syms is not None else None,
+                        idx=int(idx[i]) - b * bs,
+                        packed=data[i],
+                        r900_symbols=syms[i] if syms is not None else None,
                     )
-                    for i in sorted(first_pos)
-                ]
-                by_block.setdefault(int(b), {})[g] = cands
+                )
+            if cands:
+                by_block.setdefault(cur_b, {})[g] = cands
 
         out: List[Tuple[int, Message]] = []
         for b in sorted(by_block):

@@ -591,6 +591,24 @@ def decode_window_packed(spec: FrontendSpec, iq: jnp.ndarray, first: jnp.ndarray
 
 
 @functools.partial(jax.jit, static_argnums=(0,))
+def decode_windows_scan(spec: FrontendSpec, staged_batch, firsts):
+    """Decode K staged windows in ONE device program via lax.scan.
+
+    staged_batch: (K, staged_samples) u16; firsts: (K,) bool. Returns the
+    (K, P) packed result matrix. One program dispatch + one host fetch per
+    K windows — the fixed per-execution sync latency of the transport is
+    paid once per batch instead of once per window.
+    """
+
+    def body(_, xs):
+        st, fi = xs
+        return None, pack_results(decode_core_staged(spec, st, fi))
+
+    _, packed = jax.lax.scan(body, None, (staged_batch, firsts))
+    return packed
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
 def decode_window_staged_packed(spec: FrontendSpec, staged, first):
     """Staged-input decode with all outputs flattened into one u8 buffer.
 

@@ -143,10 +143,10 @@ class IDM(Message):
 
 def parse_idm(bits: np.ndarray, data: np.ndarray) -> IDM:
     """Extract IDM fields from packet bits/bytes (idm/idm.go:121-148)."""
+    from ..utils.bits import bitfields_strided
+
     b = bytes(np.asarray(data, dtype=np.uint8)[:PACKET_BYTES])
-    intervals = tuple(
-        bitfield(bits, 264 + 9 * i, 264 + 9 * (i + 1)) for i in range(47)
-    )
+    intervals = tuple(int(v) for v in bitfields_strided(bits, 264, 9, 47))
     return IDM(
         Preamble=int.from_bytes(b[0:4], "big"),
         PacketTypeID=b[4],

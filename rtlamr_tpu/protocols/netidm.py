@@ -136,9 +136,9 @@ class NetIDM(Message):
 def parse_netidm(bits: np.ndarray, data: np.ndarray) -> NetIDM:
     """Extract NetIDM fields (netidm/netidm.go:133-161)."""
     b = bytes(np.asarray(data, dtype=np.uint8)[:PACKET_BYTES])
-    intervals = tuple(
-        bitfield(bits, 304 + 14 * i, 304 + 14 * (i + 1)) for i in range(27)
-    )
+    from ..utils.bits import bitfields_strided
+
+    intervals = tuple(int(v) for v in bitfields_strided(bits, 304, 14, 27))
     return NetIDM(
         Preamble=int.from_bytes(b[0:4], "big"),
         ProtocolID=b[4],

@@ -122,14 +122,16 @@ class GF:
             raise ValueError(
                 f"gf: invalid paritySymbolCount: {parity_count}"
             )
-        out = np.zeros(parity_count, dtype=np.uint8)
-        for idx in range(parity_count):
-            m = self.exp_(offset + idx)
-            syn = int(message[0])
-            for v in message[1:]:
-                syn = self.mul(syn, m) ^ int(v)
-            out[idx] = syn
-        return out
+        # All parity positions advance in lockstep over the Horner fold; one
+        # mul-table row lookup per codeword symbol instead of scalar muls.
+        m = np.array(
+            [self.exp_(offset + i) for i in range(parity_count)], np.uint8
+        )
+        syn = np.full(parity_count, int(message[0]), dtype=np.uint8)
+        mul = self.mul_table
+        for v in message[1:]:
+            syn = mul[syn, m] ^ v
+        return syn
 
 
 @functools.lru_cache(maxsize=None)

@@ -133,3 +133,39 @@ def test_overflow_fallback_path():
     got = tpu_msgs(["scm"], iq, window_blocks=8, max_hits=4)
     want = oracle_msgs(["scm"], iq)
     assert got == want
+
+
+def test_staged_batch_matches_sequential(sample_bin):
+    """decode_staged_batch (one scan program per K windows) produces exactly
+    the per-window decode_staged stream, including dedup across windows."""
+    import jax
+    import jax.numpy as jnp
+
+    from rtlamr_tpu.ops.frontend import staged_geometry
+
+    parsers = parsers_for(["scm"], 78)
+    dec = WindowDecoder(parsers, window_blocks=4)
+    spec = dec.spec
+    geo = staged_geometry(spec)
+    w = spec.window
+    k = 4
+    full = np.zeros((k - 1) * w + geo.staged_samples, np.uint16)
+    u16 = sample_bin[: 2 * (spec.halo + k * w)].view(np.uint16)
+    full[spec.pad_shift : spec.pad_shift + u16.size] = u16
+    batch = np.stack([full[i * w : i * w + geo.staged_samples] for i in range(k)])
+    batch_dev = jnp.asarray(batch)
+
+    dec.reset()
+    dec._first = False
+    got_batch = [
+        (b, str(m)) for b, m in dec.decode_staged_batch(batch_dev)
+    ]
+
+    dec.reset()
+    dec._first = False
+    got_seq = [
+        (b, str(m))
+        for b, m in dec.decode_staged([batch_dev[i] for i in range(k)])
+    ]
+    assert got_batch == got_seq
+    assert got_batch  # the golden capture yields messages in these windows
