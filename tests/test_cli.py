@@ -177,27 +177,33 @@ class FakeRtlTcp(threading.Thread):
         self.commands = []
 
     def run(self):
+        import time as _t
+
         conn, _ = self.sock.accept()
         conn.sendall(b"RTL0" + struct.pack(">II", 5, 29))  # R820T, 29 gains
-        conn.settimeout(0.2)
+        conn.settimeout(0.1)
         pos = 0
         cmd = b""
+        # Keep receiving commands until the client disconnects (or a hard
+        # deadline) — commands can arrive at any time relative to the IQ
+        # stream, so the loop must not end just because the IQ ran out.
+        deadline = _t.time() + 15.0
         try:
-            while pos < len(self.iq):
+            while _t.time() < deadline:
                 try:
-                    cmd += conn.recv(64)
+                    data = conn.recv(64)
+                    if not data:
+                        break  # client closed (its -duration elapsed)
+                    cmd += data
                     while len(cmd) >= 5:
                         self.commands.append(struct.unpack(">BI", cmd[:5]))
                         cmd = cmd[5:]
                 except socket.timeout:
                     pass
-                end = min(pos + 65536, len(self.iq))
-                conn.sendall(self.iq[pos:end])
-                pos = end
-            # linger so the client hits its -duration or EOF
-            import time as _t
-
-            _t.sleep(1.0)
+                if pos < len(self.iq):
+                    end = min(pos + 65536, len(self.iq))
+                    conn.sendall(self.iq[pos:end])
+                    pos = end
         except (BrokenPipeError, ConnectionResetError):
             pass
         finally:
@@ -226,7 +232,10 @@ def test_live_rtltcp_roundtrip():
             "-msgtype=scm",
             "-windowblocks=16",
             f"-server=127.0.0.1:{server.port}",
-            "-duration=3s",
+            # -single exits at the first decoded message; -duration is only a
+            # safety cap (wall-clock tightness here is flaky under suite load).
+            "-single=true",
+            "-duration=12s",
             "-format=json",
         ]
     )
