@@ -297,4 +297,7 @@ def build_flagset() -> FlagSet:
     fs.add("gainbyindex", -1, "set gain by index", kind="int", rtlamr=False)
     fs.add("agcmode", False, "enable/disable rtl agc", kind="bool", rtlamr=False)
     fs.add("freqcorrection", 0, "frequency correction in ppm", kind="int", rtlamr=False)
+    fs.add("directsampling", False, "enable/disable direct sampling", kind="bool", rtlamr=False)
+    fs.add("offsettuning", False, "enable/disable offset tuning", kind="bool", rtlamr=False)
+    fs.add("biastee", False, "enable/disable bias tee", kind="bool", rtlamr=False)
     return fs

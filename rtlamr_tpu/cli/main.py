@@ -158,6 +158,12 @@ class Receiver:
                 client.set_agc_mode(fs.value("agcmode"))
         if fs["freqcorrection"].set_explicitly:
             client.set_freq_correction(fs.value("freqcorrection"))
+        if fs["directsampling"].set_explicitly:
+            client.set_direct_sampling(fs.value("directsampling"))
+        if fs["offsettuning"].set_explicitly:
+            client.set_offset_tuning(fs.value("offsettuning"))
+        if fs["biastee"].set_explicitly:
+            client.set_bias_tee(fs.value("biastee"))
 
         _log(self.cfg.describe())
         _log(f"rtl_tcp GainCount: {info.gain_count}")

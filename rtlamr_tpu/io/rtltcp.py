@@ -109,6 +109,12 @@ class RtlTcpClient:
     def set_gain_by_index(self, index: int) -> None:
         self._command(CMD_SET_GAIN_BY_INDEX, index)
 
+    def set_direct_sampling(self, on: bool) -> None:
+        self._command(CMD_SET_DIRECT_SAMPLING, 1 if on else 0)
+
+    def set_offset_tuning(self, on: bool) -> None:
+        self._command(CMD_SET_OFFSET_TUNING, 1 if on else 0)
+
     def set_bias_tee(self, on: bool) -> None:
         self._command(CMD_SET_BIAS_TEE, 1 if on else 0)
 

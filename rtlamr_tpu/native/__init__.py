@@ -205,6 +205,12 @@ class NativeRtlTcpClient:
     def set_gain_by_index(self, index: int) -> None:
         self._command(0x0D, index)
 
+    def set_direct_sampling(self, on: bool) -> None:
+        self._command(0x09, 1 if on else 0)
+
+    def set_offset_tuning(self, on: bool) -> None:
+        self._command(0x0A, 1 if on else 0)
+
     def set_bias_tee(self, on: bool) -> None:
         self._command(0x0E, 1 if on else 0)
 

@@ -3,23 +3,35 @@
 The parallelism design (new — the reference is a single-process CLI,
 SURVEY.md §2 "parallelism-strategy inventory"):
 
-- **Time-block data parallelism**: a super-window of ``n_devices * W``
-  samples is sharded along the time axis; each device decodes one
-  ``W``-sample window.
+- **Time-block data parallelism**: a super-batch of ``n_devices * K``
+  windows is sharded along the time axis; device ``s`` decodes the
+  contiguous run of windows ``[s*K, (s+1)*K)`` with one ``lax.scan`` —
+  one program dispatch and ONE packed device->host fetch per
+  ``n_devices * K`` windows.
 - **Halo exchange**: every window needs the previous
   ``PacketLength + SymbolLength`` samples (the reference's history buffers,
-  decode.go:144-146). Each shard sends its tail to its right neighbor via
-  ``jax.lax.ppermute`` — one hop over ICI, no host round-trip. Shard 0 of
-  the first super-window zero-fills (the reference's zeroed start buffers);
-  shard 0 of later super-windows receives the carry from the previous
-  super-window (replicated small array).
+  decode.go:144-146). Halos interior to a shard's run are filled at staging
+  time from the shard's own samples; the single cross-shard halo (window
+  ``s*K`` needs the tail of window ``s*K - 1``) is exchanged **in-program**
+  via ``jax.lax.ppermute`` — one hop over ICI, no host round-trip, and the
+  design carries to multi-host meshes where neighbor samples live on
+  another host (DCN). Shard 0 receives the previous super-batch's carry
+  (replicated small array); zeros on the stream's first batch (the
+  reference's zeroed start buffers).
 - **Protocol parallelism**: all registered preambles are correlated in the
   same program (decode_core), matching the reference's per-parser fan-out
   (decode.go:177-188) without separate workers.
 - **Global dedup at the gather point**: per-shard compacted candidates are
-  gathered to host and parsed in shard order, so the reference's
+  fetched and parsed in global window order, so the reference's
   adjacent-block digest dedup (main.go:252-292) applies unchanged across
   shard boundaries.
+
+Throughput engine properties (mirrors WindowDecoder.decode_staged_batch):
+the super-batch program is dispatched asynchronously and completed one
+batch behind (dispatch-ahead), overlapping device compute of batch i+1
+with the fetch + host parse of batch i; per-window capacity overflow
+escalates to a high-capacity single-window program, then to the exact
+NumPy path, reconstructing the staged window (halo included) on demand.
 """
 
 from __future__ import annotations
@@ -34,50 +46,88 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops.frontend import (
     FrontendSpec,
-    decode_core,
-    make_frontend_spec,
+    decode_core_staged,
     pack_results,
-    unpack_results,
+    staged_geometry,
 )
 from ..protocols.base import Message, Parser
 from ..decoder.pipeline import WindowDecoder
 
 
-def _shard_body(
-    spec: FrontendSpec, n_devices: int, iq_local, carry, first
-):
+def _shard_body(spec: FrontendSpec, n_devices: int, sb_local, carry, firsts_local):
     """Per-shard body under shard_map.
 
-    iq_local: (1, 2W) u8 — this shard's window samples.
-    carry:    (2*halo,) u8 replicated — tail of the previous super-window.
-    first:    scalar bool replicated — stream-global first super-window.
+    sb_local:     (1, K, S) u16 — this shard's K staged windows. Window 0's
+                  halo region [pad_shift, halo_staged) is zero-staged and
+                  filled here from the left neighbor.
+    carry:        (halo,) u16 replicated — tail of the previous super-batch.
+    firsts_local: (1, K) bool — stream-global first-window flags.
     """
-    iq = iq_local[0]
-    halo2 = 2 * spec.halo
-    tail = jax.lax.dynamic_slice(iq, (iq.shape[0] - halo2,), (halo2,))
-    # Right-shift around the ring: shard i receives shard i-1's tail.
+    k = sb_local.shape[1]
+    halo = spec.halo
+    hs = spec.halo_staged
+    w = spec.window
+
+    # Tail of this shard's last window: the halo its right neighbor needs.
+    tail = jax.lax.dynamic_slice(sb_local[0, k - 1], (hs + w - halo,), (halo,))
     left = jax.lax.ppermute(
         tail, "x", [(i, (i + 1) % n_devices) for i in range(n_devices)]
     )
     my = jax.lax.axis_index("x")
-    # Shard 0's left neighbor is the previous super-window's carry.
+    # Shard 0's left neighbor is the previous super-batch's carry.
     left = jnp.where(my == 0, carry, left)
-    shard_first = jnp.logical_and(first, my == 0)
-    out = decode_core(spec, jnp.concatenate([left, iq]), shard_first)
-    # One packed buffer per shard: a single gather/transfer to host.
-    return pack_results(out)[None]
+    first_win = jax.lax.dynamic_update_slice(
+        sb_local[0, 0], left, (spec.pad_shift,)
+    )
+    windows = sb_local[0].at[0].set(first_win)
+
+    def step(_, xs):
+        st, fi = xs
+        return None, pack_results(decode_core_staged(spec, st, fi))
+
+    _, packed = jax.lax.scan(step, None, (windows, firsts_local[0]))
+    return packed[None]  # (1, K, P)
 
 
 @functools.partial(jax.jit, static_argnums=(0, 1, 2))
-def _decode_superwindow(spec: FrontendSpec, mesh: Mesh, n_devices: int,
-                        iq_sharded, carry, first):
+def _decode_superbatch(spec: FrontendSpec, mesh: Mesh, n_devices: int,
+                       sb_sharded, carry, firsts):
     body = functools.partial(_shard_body, spec, n_devices)
     return jax.shard_map(
         body,
         mesh=mesh,
-        in_specs=(P("x", None), P(), P()),
-        out_specs=P("x"),
-    )(iq_sharded, carry, first)
+        in_specs=(P("x", None, None), P(), P("x", None)),
+        out_specs=P("x", None, None),
+        # pallas_call out_shapes carry no varying-mesh-axes annotation;
+        # skip the static vma checker (shardings are still enforced).
+        check_vma=False,
+    )(sb_sharded, carry, firsts)
+
+
+def stage_superbatch(
+    spec: FrontendSpec, iq_bytes: np.ndarray, n: int, k: int
+) -> np.ndarray:
+    """Stage ``n*k`` windows of raw interleaved IQ into (n, k, S) u16.
+
+    Each window's own samples land at [halo_staged, halo_staged + window);
+    halos interior to a shard's run (window k>=1) are copied from the
+    previous window's tail; window 0's halo region stays zero — it is
+    filled in-program by the ppermute exchange (or the carry).
+    """
+    geo = staged_geometry(spec)
+    w = spec.window
+    halo = spec.halo
+    ps, hs = spec.pad_shift, spec.halo_staged
+    u16 = (
+        np.ascontiguousarray(np.asarray(iq_bytes, np.uint8))
+        .view(np.uint16)
+        .reshape(n, k, w)
+    )
+    sb = np.zeros((n, k, geo.staged_samples), np.uint16)
+    sb[:, :, hs : hs + w] = u16
+    if k > 1:
+        sb[:, 1:, ps:hs] = u16[:, :-1, w - halo :]
+    return sb
 
 
 class MeshDecoder(WindowDecoder):
@@ -85,7 +135,7 @@ class MeshDecoder(WindowDecoder):
 
     Decode semantics (message sets, block indices, dedup) are identical to
     :class:`WindowDecoder`; only the execution layout differs: each device
-    step processes ``n_devices`` windows at once.
+    program processes ``n_devices * scan_windows`` windows at once.
     """
 
     def __init__(
@@ -96,10 +146,12 @@ class MeshDecoder(WindowDecoder):
         max_hits: int = 256,
         filter_fn=None,
         backend: str = "jnp",
+        scan_windows: int = 2,
     ):
         devices = list(devices if devices is not None else jax.devices())
         self.mesh = Mesh(np.array(devices), ("x",))
         self.n_devices = len(devices)
+        self.scan_windows = scan_windows
         super().__init__(
             parsers,
             window_blocks=window_blocks,
@@ -113,90 +165,181 @@ class MeshDecoder(WindowDecoder):
                 f"{-(-self.spec.halo // self.spec.block_size)} "
                 f"(window {self.spec.window} < halo {self.spec.halo})"
             )
-        self._sharding = NamedSharding(self.mesh, P("x", None))
+        self._sharding = NamedSharding(self.mesh, P("x", None, None))
+        self._firsts_sharding = NamedSharding(self.mesh, P("x", None))
+        self._replicated = NamedSharding(self.mesh, P())
         self.reset()
 
     def reset(self) -> None:
         super().reset()
-        # The mesh path carries raw u8 halo bytes (the shard body stages on
-        # device via decode_core), unlike WindowDecoder's staged u16 carry.
-        self._carry = np.zeros(2 * self.spec.halo, np.uint8)
+        # Carry between super-batches: the last halo samples of the stream,
+        # in the staged u16 encoding (one interleaved IQ byte pair each).
+        self._carry = np.zeros(self.spec.halo, np.uint16)
+
+    _firsts_cache: Optional[Dict[bool, object]] = None
+
+    def _firsts_dev(self, first: bool):
+        """Cached sharded (n, K) first-window flag arrays (only window 0 of
+        the stream's first batch is ever True)."""
+        if self._firsts_cache is None:
+            n, k = self.n_devices, self.scan_windows
+            t = np.zeros((n, k), bool)
+            t[0, 0] = True
+            self._firsts_cache = {
+                True: jax.device_put(t, self._firsts_sharding),
+                False: jax.device_put(
+                    np.zeros((n, k), bool), self._firsts_sharding
+                ),
+            }
+        return self._firsts_cache[first]
 
     @property
-    def window_bytes(self) -> int:  # feed() granularity: one super-window
-        return 2 * self.spec.window * self.n_devices
+    def window_bytes(self) -> int:  # feed() granularity: one super-batch
+        return 2 * self.spec.window * self.n_devices * self.scan_windows
+
+    # -- batched decode over the mesh ---------------------------------------
 
     def _process_window(
         self, super_bytes: np.ndarray, valid_blocks: Optional[int] = None
     ) -> List[Tuple[int, Message]]:
-        """Decode one super-window (n_devices windows) and parse in order."""
+        """Dispatch one super-batch; fetch + parse the previous one."""
         spec = self.spec
-        n = self.n_devices
-        w2 = 2 * spec.window
-        iq_shards = np.asarray(super_bytes, np.uint8).reshape(n, w2)
-        iq_dev = jax.device_put(iq_shards, self._sharding)
-        packed = np.asarray(
-            _decode_superwindow(
-                spec,
-                self.mesh,
-                n,
-                iq_dev,
-                jnp.asarray(self._carry),
-                jnp.asarray(self._first),
-            )
+        n, k = self.n_devices, self.scan_windows
+        sb = stage_superbatch(spec, super_bytes, n, k)
+        sb_dev = jax.device_put(sb, self._sharding)
+        return self.decode_superbatch_staged(
+            sb_dev, valid_blocks=valid_blocks, drain=False, _host_sb=sb
         )
 
-        wb_blocks = spec.window // spec.block_size
-        total_valid = (
-            valid_blocks if valid_blocks is not None else n * wb_blocks
-        )
-        msgs: List[Tuple[int, Message]] = []
-        for shard in range(n):
-            shard_res = unpack_results(spec, packed[shard])
-            shard_valid = min(
-                max(total_valid - shard * wb_blocks, 0), wb_blocks
-            )
-            if shard_valid == 0:
-                break
-            if self._overflowed(shard_res):
-                self.metrics.hit_overflows += 1
-                iq_full = np.concatenate(
-                    [
-                        self._carry
-                        if shard == 0
-                        else iq_shards[shard - 1, -2 * spec.halo :],
-                        iq_shards[shard],
-                    ]
-                )
-                from ..ops.frontend import stage_host
+    def decode_superbatch_staged(
+        self,
+        sb_dev,
+        valid_blocks: Optional[int] = None,
+        drain: bool = True,
+        _host_sb: Optional[np.ndarray] = None,
+    ) -> List[Tuple[int, Message]]:
+        """Decode an (n, K, S) staged device batch already on the mesh.
 
-                shard_res = self._window_results_numpy(
-                    stage_host(spec, iq_full), self._first and shard == 0
+        ``sb_dev`` must be sharded P("x", None, None) with window 0 of each
+        shard's run carrying a zero halo region (see :func:`stage_superbatch`).
+        Used by bench_mesh.py with HBM-resident batches; ``_process_window``
+        routes the streaming path here.
+        """
+        spec = self.spec
+        n, k = self.n_devices, self.scan_windows
+        # Uniform replicated sharding whether the carry is host bytes or a
+        # lazy device slice — avoids a per-sharding recompile of the program.
+        packed = _decode_superbatch(
+            spec,
+            self.mesh,
+            n,
+            sb_dev,
+            jax.device_put(self._carry, self._replicated),
+            self._firsts_dev(self._first),
+        )
+        first0 = self._first
+
+        wb = spec.window // spec.block_size
+        total_valid = valid_blocks if valid_blocks is not None else n * k * wb
+        src = _host_sb if _host_sb is not None else sb_dev
+        carry_prev = self._carry
+        metas = []
+        for s in range(n):
+            for kk in range(k):
+                win = s * k + kk
+                win_valid = min(max(total_valid - win * wb, 0), wb)
+                if win_valid == 0:
+                    continue
+                thunk = functools.partial(
+                    _staged_window, spec, src, s, kk, carry_prev
                 )
-            msgs.extend(
-                self._parse_window(shard_res, shard_valid, self._window_index)
-            )
-            self._window_index += 1
-            self.metrics.windows_decoded += 1
-            self.metrics.samples_in += spec.window
-        self._carry = iq_shards[-1, -2 * spec.halo :].copy()
+                metas.append(
+                    (
+                        thunk,
+                        first0 and win == 0,
+                        win_valid if win_valid < wb else None,
+                        self._window_index + win,
+                        (s, kk),
+                    )
+                )
+        self._window_index += n * k
         self._first = False
-        return msgs
+        tail = (
+            slice(spec.halo_staged + spec.window - spec.halo,
+                  spec.halo_staged + spec.window)
+        )
+        if _host_sb is not None:
+            self._carry = _host_sb[-1, -1, tail].copy()
+        else:
+            # Device-resident batch: keep the carry on device (a lazy slice
+            # of an input array — no host round-trip in the hot loop).
+            self._carry = sb_dev[-1, -1, tail]
+
+        out: List[Tuple[int, Message]] = []
+        if self._inflight is not None:
+            prev, self._inflight = self._inflight, None
+            out.extend(self._complete_inflight(prev))
+        self._inflight = ("mesh", packed, metas)
+        if drain:
+            out.extend(self.drain())
+        return out
+
+    def _complete_inflight(self, inflight) -> List[Tuple[int, Message]]:
+        if inflight[0] == "mesh":
+            return self._complete_mesh_batch(inflight[1], inflight[2])
+        return super()._complete_inflight(inflight)
+
+    def _complete_mesh_batch(self, packed, metas) -> List[Tuple[int, Message]]:
+        host = np.asarray(packed)  # ONE fetch: (n, K, P)
+        out: List[Tuple[int, Message]] = []
+        for thunk, first, win_valid, window_index, (s, kk) in metas:
+            out.extend(
+                self._complete_window(
+                    host[s, kk], (thunk, first, win_valid, window_index)
+                )
+            )
+        return out
+
+
+def _staged_window(
+    spec: FrontendSpec, sb, s: int, k: int, carry_host: np.ndarray
+) -> np.ndarray:
+    """Reconstruct window (s, k)'s staged buffer WITH its halo filled.
+
+    Only called on capacity overflow (escalation re-decode): ``sb`` may be
+    the host staging array or the device batch (fetched lazily). The k==0
+    halo — zero in the staged layout — is filled from the left neighbor's
+    tail, or the carry for shard 0.
+    """
+    win = np.asarray(sb[s, k]).copy()
+    if k == 0:
+        halo = spec.halo
+        hs, w = spec.halo_staged, spec.window
+        left = (
+            np.asarray(carry_host)  # may be a device array (device-resident path)
+            if s == 0
+            else np.asarray(sb[s - 1, sb.shape[1] - 1, hs + w - halo : hs + w])
+        )
+        win[spec.pad_shift : hs] = left
+    return win
 
 
 def dryrun(n_devices: int, window_blocks: Optional[int] = None) -> int:
     """Compile-and-run the full sharded decode on tiny shapes.
 
     Used by the driver's multi-chip dry run: builds an n-device mesh (CPU
-    devices under --xla_force_host_platform_device_count), runs one
-    super-window step end-to-end, and returns the number of decoded
-    messages (sanity: a planted packet on a shard boundary is found once).
+    devices under --xla_force_host_platform_device_count), decodes a noisy
+    all-protocol capture with packets planted inside shards, exactly on the
+    shard boundary, and on the super-batch boundary, checks the message set
+    (including exactly-once boundary recovery) against the NumPy oracle,
+    and returns the number of decoded messages.
     """
     from ..protocols import new_parser
-    from ..ref import synth
+    from ..ref import ReferenceDecoder, synth
 
     chip_length = 8  # smallest supported => tiniest shapes (flags.go:127)
-    parsers = [new_parser(n, chip_length) for n in ("scm", "idm", "r900")]
+    names = ("scm", "idm", "r900")
+    parsers = [new_parser(n, chip_length) for n in names]
     dec = MeshDecoder(
         parsers,
         devices=jax.devices()[:n_devices],
@@ -205,16 +348,53 @@ def dryrun(n_devices: int, window_blocks: Optional[int] = None) -> int:
     )
     cfg = dec.cfg
     w = dec.spec.window
+    k = dec.scan_windows
+    shard_span = k * w  # samples per shard's contiguous run
+    super_span = n_devices * shard_span
     scm_packet_len = 96 * cfg.symbol_length
-    # One packet inside shard 0, one exactly straddling the 0/1 boundary.
-    bits = synth.make_scm_bits(meter_id=123456, consumption=42)
-    bursts = [synth.bits_to_burst(bits, cfg.block_size // 4)]
+
+    # Non-overlapping burst offsets (IDM is 736 symbols long):
+    sl = cfg.symbol_length
+    o_scm = cfg.block_size // 4
+    o_idm = o_scm + 96 * sl + 2 * sl
+    o_r900 = o_idm + 736 * sl + 2 * sl
+    bursts = [
+        synth.bits_to_burst(
+            synth.make_scm_bits(meter_id=123456, consumption=42), o_scm
+        ),
+        synth.bits_to_burst(synth.make_idm_bits(serial=777777), o_idm),
+        synth.r900_burst(synth.make_r900_symbols(meter_id=424242), o_r900),
+    ]
+    expected = [123456, 424242, 777777]
     if n_devices > 1:
-        bits2 = synth.make_scm_bits(meter_id=654321, consumption=7)
-        bursts.append(synth.bits_to_burst(bits2, w - scm_packet_len // 2))
-    iq = synth.render_iq(n_devices * w, bursts, chip_length)
+        # Exactly on the first shard boundary: must be found once and once
+        # only (halo exchange + digest dedup).
+        bursts.append(
+            synth.bits_to_burst(
+                synth.make_scm_bits(meter_id=654321, consumption=7),
+                shard_span - scm_packet_len // 2,
+            )
+        )
+        expected.append(654321)
+    # Straddling the super-batch boundary: exercises the carry.
+    bursts.append(
+        synth.bits_to_burst(
+            synth.make_scm_bits(meter_id=13579, consumption=9),
+            super_span - scm_packet_len // 2,
+        )
+    )
+    expected.append(13579)
+    iq = synth.render_iq(2 * super_span, bursts, chip_length, noise=2.0, seed=31)
+
     msgs = dec.decode_capture(iq)
     ids = sorted(m.meter_id() for _, m in msgs)
-    expected = [123456] if n_devices == 1 else [123456, 654321]
-    assert ids == expected, f"mesh dryrun decoded {ids}, expected {expected}"
+    assert ids == sorted(expected), f"mesh dryrun decoded {ids}, expected {sorted(expected)}"
+
+    # Full conformance: identical (block, message) stream to the oracle.
+    oracle = ReferenceDecoder(
+        [new_parser(n, chip_length) for n in names], arithmetic="int"
+    ).decode_capture(iq)
+    got = [(b, str(m)) for b, m in msgs]
+    want = [(b, str(m)) for b, m in oracle]
+    assert got == want, f"mesh dryrun diverged from oracle:\n{got}\n{want}"
     return len(msgs)

@@ -237,6 +237,9 @@ def test_live_rtltcp_roundtrip():
             "-single=true",
             "-duration=12s",
             "-format=json",
+            "-biastee=true",
+            "-directsampling=true",
+            "-offsettuning=true",
         ]
     )
     lines = out.strip().splitlines()
@@ -250,3 +253,6 @@ def test_live_rtltcp_roundtrip():
     assert cmds.get(0x01) == 912600155  # scm center freq
     assert cmds.get(0x02) == 32768 * 72  # derived sample rate
     assert 0x03 in cmds  # gain mode set (auto)
+    assert cmds.get(0x09) == 1  # direct sampling
+    assert cmds.get(0x0A) == 1  # offset tuning
+    assert cmds.get(0x0E) == 1  # bias tee

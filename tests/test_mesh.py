@@ -17,8 +17,11 @@ def parsers(names):
     return [new_parser(n, CHIP) for n in names]
 
 
-def test_dryrun_8_devices():
-    assert dryrun(8) == 2
+@pytest.mark.parametrize("n", [2, 4, 8])
+def test_dryrun(n):
+    # scm + idm + r900 in noise, a shard-boundary packet, and a
+    # super-batch-boundary packet => 5 messages, each exactly once.
+    assert dryrun(n) == 5
 
 
 def test_mesh_matches_oracle_boundary_packets():
