@@ -380,3 +380,102 @@ int rtlamr_file_close(int64_t h) {
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// TSAN/stress harness (SURVEY.md §5.2 posture; not part of the library).
+//
+// Build & run:
+//   g++ -std=c++17 -O1 -g -fsanitize=thread -DRTLAMR_RING_STRESS \
+//       rtlamr_tpu/native/src/ingest.cpp -o /tmp/ring_stress -lpthread
+//   /tmp/ring_stress [seconds]
+//
+// A producer thread pushes a self-describing byte pattern flat-out into a
+// deliberately tiny ring (forcing the drop path constantly) while the
+// consumer pops random-sized chunks and validates two invariants:
+//   1. pair alignment: drops only ever remove whole 2-byte I/Q pairs —
+//      every even-offset byte carries marker LSB 0, every odd-offset LSB 1;
+//   2. order: reconstructed pair counters are strictly increasing mod 2^15
+//      (gaps = drops are fine; reordering or duplication is not).
+// A third thread hammers size() to give TSAN a reader-vs-writer cross.
+
+#ifdef RTLAMR_RING_STRESS
+#include <cstdio>
+#include <cstdlib>
+
+int main(int argc, char** argv) {
+  double seconds = argc > 1 ? atof(argv[1]) : 2.0;
+  Ring ring(4096 + 1);  // odd capacity: exercises the pair-rounding drop
+  std::atomic<bool> stop{false};
+  std::atomic<size_t> dropped{0};
+  std::atomic<size_t> produced_pairs{0};
+
+  std::thread producer([&] {
+    uint32_t k = 0;
+    uint8_t chunk[1536];  // not a multiple of ring capacity
+    while (!stop.load(std::memory_order_relaxed)) {
+      for (size_t i = 0; i < sizeof(chunk); i += 2, ++k) {
+        chunk[i] = static_cast<uint8_t>((k << 1) & 0xFE);              // LSB 0
+        chunk[i + 1] = static_cast<uint8_t>((((k >> 7) & 0xFE)) | 1);  // LSB 1
+      }
+      dropped += ring.push(chunk, sizeof(chunk));
+      produced_pairs += sizeof(chunk) / 2;
+    }
+    ring.set_eof();
+  });
+
+  std::thread spy([&] {
+    size_t acc = 0;
+    while (!stop.load(std::memory_order_relaxed)) acc += ring.size();
+    if (acc == static_cast<size_t>(-1)) printf("%zu", acc);  // keep acc live
+  });
+
+  auto deadline = std::chrono::steady_clock::now() +
+                  std::chrono::duration<double>(seconds);
+  uint8_t out[4096];
+  size_t consumed = 0;
+  long last_k = -1;
+  unsigned rng = 12345;
+  bool timed_out = false;
+  while (std::chrono::steady_clock::now() < deadline) {
+    rng = rng * 1103515245 + 12345;
+    size_t want = 2 + (rng >> 16) % (sizeof(out) - 2);
+    want &= ~size_t(1);  // consumer reads whole pairs (like the CLI)
+    size_t got = ring.pop(out, want, 50, &timed_out);
+    for (size_t i = 0; i + 1 < got; i += 2) {
+      if ((out[i] & 1) != 0 || (out[i + 1] & 1) != 1) {
+        fprintf(stderr, "FAIL: pair alignment broken at byte %zu\n",
+                consumed + i);
+        return 1;
+      }
+      long k = ((out[i] >> 1) & 0x7F) | (((long)(out[i + 1] >> 1) & 0x7F) << 7);
+      if (last_k >= 0) {
+        long delta = (k - last_k) & 0x3FFF;  // mod 2^14 counter distance
+        if (delta == 0) {
+          fprintf(stderr, "FAIL: duplicated/reordered pair at byte %zu\n",
+                  consumed + i);
+          return 1;
+        }
+      }
+      last_k = k;
+    }
+    consumed += got;
+  }
+  stop.store(true);
+  producer.join();
+  spy.join();
+  // Drain to EOF (exercises the eof path under contention).
+  size_t got;
+  do {
+    got = ring.pop(out, sizeof(out), 100, &timed_out);
+    consumed += got;
+  } while (got > 0);
+  if (consumed + dropped.load() != 2 * produced_pairs.load()) {
+    fprintf(stderr, "FAIL: conservation: consumed %zu + dropped %zu != %zu\n",
+            consumed, dropped.load(), 2 * produced_pairs.load());
+    return 1;
+  }
+  printf("OK consumed=%zu dropped=%zu produced_pairs=%zu\n", consumed,
+         dropped.load(), produced_pairs.load());
+  return 0;
+}
+#endif  // RTLAMR_RING_STRESS

@@ -218,3 +218,31 @@ def test_cli_live_with_native_ingest(tmp_path):
     rc = cli_run(fs, out=out)
     assert rc == 0
     assert "27182818" in out.getvalue()
+
+
+def test_ring_stress_tsan(tmp_path):
+    """Build the SPSC ring stress harness under ThreadSanitizer and run it:
+    producer floods a tiny ring (constant drop pressure) while the consumer
+    validates pair alignment, ordering, and byte conservation, and a third
+    thread hammers size(). TSAN aborts nonzero on any data race."""
+    import shutil
+    import subprocess
+
+    gxx = shutil.which("g++")
+    if gxx is None:
+        pytest.skip("no g++ in image")
+    src = "rtlamr_tpu/native/src/ingest.cpp"
+    exe = tmp_path / "ring_stress"
+    build = subprocess.run(
+        [gxx, "-std=c++17", "-O1", "-g", "-fsanitize=thread",
+         "-DRTLAMR_RING_STRESS", src, "-o", str(exe), "-lpthread"],
+        capture_output=True, cwd="/root/repo",
+    )
+    if build.returncode != 0 and b"tsan" in build.stderr.lower():
+        pytest.skip("no TSAN runtime in image")
+    assert build.returncode == 0, build.stderr.decode()
+    run = subprocess.run(
+        [str(exe), "1"], capture_output=True, timeout=120
+    )
+    assert run.returncode == 0, (run.stdout + run.stderr).decode()
+    assert run.stdout.startswith(b"OK"), run.stdout.decode()
