@@ -247,7 +247,10 @@ def make_frontend_spec(
         # (whether slots are used or not), so keep it tight; overflow
         # escalates to a larger program variant, then to the exact host path.
         gather_hits=gather_hits,
-        gather_rows=min(max(gather_hits // 4, 1024), window // 128),
+        # Preamble plateaus cluster in few 128-sample rows (~2 rows per
+        # packet), so row capacity can sit well under gather_hits; overflow
+        # escalates to the high-capacity variant like any other overflow.
+        gather_rows=min(max(gather_hits // 8, 512), window // 128),
         # 512 rows (65,536 positions) per Pallas tile: the largest tile whose
         # int32 stencil temporaries fit Mosaic's 16MB scoped-VMEM stack.
         tile_rows=min(512, _round_up(lp_rows, 8)),
@@ -396,27 +399,86 @@ def _bits_q6_jnp_staged(spec: FrontendSpec, staged: jnp.ndarray, first):
     return bits, q6
 
 
+def _strided_matrix(
+    stream: jnp.ndarray, stride: int, max_length: int
+) -> jnp.ndarray:
+    """(stride, n_rows) view where stream[c*stride + r] = mat[r, c].
+
+    Positions at a fixed stride live in one column of
+    ``stream.reshape(-1, stride)``; after a transpose each strided read is a
+    contiguous row segment. Built ONCE per (stream, stride) and shared by
+    every preamble group's slice gather — the transpose is the expensive
+    part, the per-group gathers are cheap.
+    """
+    n_rows = -(-int(stream.shape[0]) // stride) + max_length + 1
+    padded = jnp.zeros(n_rows * stride, stream.dtype)
+    padded = jax.lax.dynamic_update_slice(padded, stream, (0,))
+    return padded.reshape(n_rows, stride).T  # (stride, n_rows)
+
+
+def _strided_rows_from(
+    mat: jnp.ndarray, starts: jnp.ndarray, stride: int, length: int
+) -> jnp.ndarray:
+    """rows[i, j] = stream[starts[i] + j*stride] over a prebuilt
+    :func:`_strided_matrix`, as one flat gather of k*length scalars."""
+    r = (starts % stride).astype(jnp.int32)
+    c = (starts // stride).astype(jnp.int32)
+    ncols = mat.shape[1]
+    flat = (
+        r[:, None] * ncols
+        + c[:, None]
+        + jnp.arange(length, dtype=jnp.int32)[None, :]
+    )
+    return jnp.take(mat.reshape(-1), flat)
+
+
 def _strided_rows(
     stream: jnp.ndarray, starts: jnp.ndarray, stride: int, length: int
 ) -> jnp.ndarray:
-    """rows[i, j] = stream[starts[i] + j*stride] via contiguous slices.
+    """One-shot helper: build the strided matrix and gather (tests/tools)."""
+    return _strided_rows_from(
+        _strided_matrix(stream, stride, length), starts, stride, length
+    )
 
-    Positions at a fixed stride live in one column of
-    ``stream.reshape(-1, stride)``; after a transpose each result row is a
-    contiguous segment, so the batched read lowers to an efficient sliced
-    gather (slice size ``length``) instead of ``k*length`` scalar gathers.
+
+def _packed_strided_matrix(
+    stream: jnp.ndarray, stride: int, max_bytes: int
+) -> jnp.ndarray:
+    """P8[r, c] = MSB-first byte of stream[(c+k)*stride + r], k<8.
+
+    Dense byte pre-pack of the strided matrix (VPU shifts over contiguous
+    rows — nearly free). Packet byte b of a hit at (r, c0) is P8[r, c0+8b],
+    so the per-hit gather moves nbytes packed bytes instead of 8*nbytes
+    raw bits.
     """
-    n_rows = -(-int(stream.shape[0]) // stride) + length + 1
-    padded = jnp.zeros(n_rows * stride, stream.dtype)
-    padded = jax.lax.dynamic_update_slice(padded, stream, (0,))
-    mat = padded.reshape(n_rows, stride).T  # (stride, n_rows)
-    r = starts % stride
-    c = starts // stride
+    mat = _strided_matrix(stream, stride, 8 * max_bytes + 8)  # (stride, C)
+    c = mat.shape[1]
+    c8 = -(-c // 8) * 8
+    pad = jnp.zeros((mat.shape[0], c8 + 8), mat.dtype)
+    pad = jax.lax.dynamic_update_slice(pad, mat, (0, 0))
+    p8 = jnp.zeros((mat.shape[0], c8), jnp.uint8)
+    for j in range(8):
+        p8 = p8 | (pad[:, j : j + c8] << (7 - j))
+    return p8
 
-    def one(rr, cc):
-        return jax.lax.dynamic_slice(mat, (rr, cc), (1, length))[0]
 
-    return jax.vmap(one)(r, c)
+def _packed_rows_from(
+    p8: jnp.ndarray, starts: jnp.ndarray, stride: int, nbytes: int
+) -> jnp.ndarray:
+    """bytes[i, b] = MSB-first packed stream[starts[i] + (8b+k)*stride].
+
+    One flat gather of k*nbytes scalars (TPU gathers pay per element AND
+    per slice; a single take beats k vmapped dynamic_slices).
+    """
+    r = (starts % stride).astype(jnp.int32)
+    c = (starts // stride).astype(jnp.int32)
+    ncols = p8.shape[1]
+    flat = (
+        r[:, None] * ncols
+        + c[:, None]
+        + 8 * jnp.arange(nbytes, dtype=jnp.int32)[None, :]
+    )
+    return jnp.take(p8.reshape(-1), flat)
 
 
 def search_slice(spec: FrontendSpec, bits: jnp.ndarray, q6, mask2d):
@@ -456,6 +518,17 @@ def search_slice(spec: FrontendSpec, bits: jnp.ndarray, q6, mask2d):
     byte_mats: List[jnp.ndarray] = []
     symbol_mats: Dict[int, jnp.ndarray] = {}
 
+    # Shared strided views: every group slices ``bits`` at stride SL (and
+    # R900 groups slice ``q6`` at 4*CL); built once, pre-packed to bytes so
+    # the per-hit gather moves nbytes instead of 8*nbytes elements.
+    max_bytes = max((g.packet_symbols + 7) >> 3 for g in spec.groups)
+    pack_mat = _packed_strided_matrix(bits, sl, max_bytes)
+    q6_mat = (
+        _strided_matrix(q6, 4 * cl, PAYLOAD_SYMBOLS)
+        if spec.wants_r900
+        else None
+    )
+
     for g, group in enumerate(spec.groups):
         raw_count = jnp.sum(
             (mask2d >> g) & 1, dtype=jnp.int32
@@ -473,18 +546,15 @@ def search_slice(spec: FrontendSpec, bits: jnp.ndarray, q6, mask2d):
         ).astype(jnp.int32)
         safe_idx = jnp.where(valid, hit_idx, 0)
 
-        # Bit slice at stride SL (decode.go:353-375) + MSB-first byte pack.
+        # Bit slice at stride SL (decode.go:353-375), gathered as pre-packed
+        # MSB-first bytes; mask the stray low bits of a partial final byte.
         s_g = group.packet_symbols
         nbytes = (s_g + 7) >> 3
         s_pad = nbytes * 8
-        pkt_bits = _strided_rows(bits, safe_idx, sl, s_pad)
-        pkt_bits = jnp.where(jnp.arange(s_pad)[None, :] < s_g, pkt_bits, 0)
-        weights = jnp.array([128, 64, 32, 16, 8, 4, 2, 1], jnp.int32)
-        packed = jnp.einsum(
-            "knb,b->kn",
-            pkt_bits.reshape(k_gather, nbytes, 8).astype(jnp.int32),
-            weights,
-        ).astype(jnp.uint8)
+        packed = _packed_rows_from(pack_mat, safe_idx, sl, nbytes)
+        if s_g != s_pad:
+            tail_mask = jnp.uint8((0xFF << (s_pad - s_g)) & 0xFF)
+            packed = packed.at[:, -1].set(packed[:, -1] & tail_mask)
 
         syms = None
         if group.wants_r900:
@@ -492,8 +562,8 @@ def search_slice(spec: FrontendSpec, bits: jnp.ndarray, q6, mask2d):
             # starting at hit + PreambleLength - SymbolLength
             # (r900/r900.go:187-193).
             base = spec.preamble_length - sl
-            syms = _strided_rows(
-                q6, safe_idx + base, 4 * cl, PAYLOAD_SYMBOLS
+            syms = _strided_rows_from(
+                q6_mat, safe_idx + base, 4 * cl, PAYLOAD_SYMBOLS
             )
 
         # Collapse same-block ADJACENT duplicates: preamble-hit plateaus
