@@ -529,21 +529,44 @@ def search_slice(spec: FrontendSpec, bits: jnp.ndarray, q6, mask2d):
         else None
     )
 
+    # Level 2: ONE exact nonzero over the gathered rows finds positions with
+    # any group's hit; per-group membership is then resolved on the small
+    # compacted set instead of one big nonzero per group. The combined
+    # capacity covers the SUM across groups (hits can coincide per group
+    # but not per position byte).
+    k_any = min(len(spec.groups) * k_gather, n_rows_cap * 128)
+    (any_hits,) = jnp.nonzero(
+        flat_sub != 0, size=k_any, fill_value=flat_pos.shape[0]
+    )
+    any_valid = any_hits < flat_pos.shape[0]
+    safe_any = jnp.where(any_valid, any_hits, 0)
+    any_idx = jnp.where(
+        any_valid, jnp.take(flat_pos, safe_any), w
+    ).astype(jnp.int32)
+    any_mask = jnp.where(any_valid, jnp.take(flat_sub, safe_any), jnp.uint8(0))
+    total_any = jnp.sum((mask2d != 0).astype(jnp.int32))
+    any_overflow = jnp.logical_or(rows_overflow, total_any > k_any)
+
     for g, group in enumerate(spec.groups):
         raw_count = jnp.sum(
             (mask2d >> g) & 1, dtype=jnp.int32
         )  # exact total matches
-        # Row overflow reports as gather overflow so the caller escalates.
+        # Row/combined-gather overflow reports as gather overflow so the
+        # caller escalates.
         raw_count = jnp.where(
-            rows_overflow, jnp.int32(k_gather + 1), raw_count
+            any_overflow, jnp.int32(k_gather + 1), raw_count
         )
-        # Level 2: exact nonzero over the gathered rows only.
-        gbit = (flat_sub >> g) & 1
-        (hits,) = jnp.nonzero(gbit, size=k_gather, fill_value=flat_pos.shape[0])
-        valid = hits < flat_pos.shape[0]
-        hit_idx = jnp.where(
-            valid, jnp.take(flat_pos, jnp.where(valid, hits, 0)), w
-        ).astype(jnp.int32)
+        # This group's hits, compacted from the combined set (small nonzero;
+        # a per-group count above k_gather is already reported via the exact
+        # raw_count popcount and escalated by the caller).
+        gsel = (any_mask >> g) & 1
+        (ghits,) = jnp.nonzero(gsel, size=k_gather, fill_value=k_any)
+        gvalid = ghits < k_any
+        safe_g = jnp.where(gvalid, ghits, 0)
+        hit_idx = jnp.where(gvalid, jnp.take(any_idx, safe_g), w).astype(
+            jnp.int32
+        )
+        valid = jnp.logical_and(gvalid, hit_idx < w)
         safe_idx = jnp.where(valid, hit_idx, 0)
 
         # Bit slice at stride SL (decode.go:353-375), gathered as pre-packed
