@@ -394,8 +394,12 @@ int rtlamr_file_close(int64_t h) {
 // consumer pops random-sized chunks and validates two invariants:
 //   1. pair alignment: drops only ever remove whole 2-byte I/Q pairs —
 //      every even-offset byte carries marker LSB 0, every odd-offset LSB 1;
-//   2. order: reconstructed pair counters are strictly increasing mod 2^15
-//      (gaps = drops are fine; reordering or duplication is not).
+//   2. order: reconstructed pair counters carry a CONTIGUOUS 14-bit
+//      sequence number (7 bits per byte beside the marker LSBs); deltas
+//      must be nonzero (no duplication) and the forward gaps within each
+//      pop must fit inside the pairs actually dropped since the previous
+//      pop (an upper bound read from the drop counter, so drops are fine
+//      but reordering's huge mod-2^14 "gap" blows the budget).
 // A third thread hammers size() to give TSAN a reader-vs-writer cross.
 
 #ifdef RTLAMR_RING_STRESS
@@ -414,8 +418,10 @@ int main(int argc, char** argv) {
     uint8_t chunk[1536];  // not a multiple of ring capacity
     while (!stop.load(std::memory_order_relaxed)) {
       for (size_t i = 0; i < sizeof(chunk); i += 2, ++k) {
-        chunk[i] = static_cast<uint8_t>((k << 1) & 0xFE);              // LSB 0
-        chunk[i + 1] = static_cast<uint8_t>((((k >> 7) & 0xFE)) | 1);  // LSB 1
+        // Contiguous 14-bit counter: bits 0-6 in the even byte, 7-13 in
+        // the odd byte (beside the pair-alignment marker LSBs).
+        chunk[i] = static_cast<uint8_t>((k << 1) & 0xFE);             // LSB 0
+        chunk[i + 1] = static_cast<uint8_t>(((k >> 6) & 0xFE) | 1);   // LSB 1
       }
       dropped += ring.push(chunk, sizeof(chunk));
       produced_pairs += sizeof(chunk) / 2;
@@ -434,6 +440,7 @@ int main(int argc, char** argv) {
   uint8_t out[4096];
   size_t consumed = 0;
   long last_k = -1;
+  size_t total_gap_pairs = 0;  // cumulative forward gaps observed
   unsigned rng = 12345;
   bool timed_out = false;
   while (std::chrono::steady_clock::now() < deadline) {
@@ -455,10 +462,25 @@ int main(int argc, char** argv) {
                   consumed + i);
           return 1;
         }
+        total_gap_pairs += static_cast<size_t>(delta - 1);
       }
       last_k = k;
     }
     consumed += got;
+    // Order check: every forward gap corresponds to pairs dropped at PUSH
+    // time, which the drop counter already includes by the time the
+    // consumer pops past them (FIFO + whole-pair drops) — so cumulative
+    // gaps can never exceed cumulative drops. A reordered pair's
+    // (2^14 - d) pseudo-gap adds ~16K pairs instantly and blows the
+    // budget; true gaps >= 2^14 alias under the counter wrap, weakening
+    // detection but never soundness (no false fail).
+    size_t drop_now = dropped.load(std::memory_order_relaxed);
+    if (2 * total_gap_pairs > drop_now) {
+      fprintf(stderr,
+              "FAIL: cumulative gap %zu pairs exceeds dropped %zu bytes\n",
+              total_gap_pairs, drop_now);
+      return 1;
+    }
   }
   stop.store(true);
   producer.join();

@@ -120,6 +120,13 @@ class MultiHostDecoder:
         self._carry = np.zeros(self.spec.halo, np.uint16)
         self._first = True
         self._window_index = 0
+        # Left neighbor's current-batch tail (escalation re-decode halo for
+        # this process's first window); allgathered fresh each super-batch.
+        self._left_tail = np.zeros(self.spec.halo, np.uint16)
+        # (block, digest set) of the LAST process's last block of the
+        # previous super-batch — the global predecessor of process 0's first
+        # block of the next batch (cross-super-batch seam dedup).
+        self._prev_batch_tail: Optional[Tuple[int, set]] = None
 
     @property
     def local_window_bytes(self) -> int:
@@ -163,6 +170,16 @@ class MultiHostDecoder:
             firsts_g,
         )
 
+        # Boundary halos: every process's last-window tail, allgathered
+        # (num_processes * 2*halo bytes — tiny). tails[-1] is the next
+        # super-batch's carry (the global stream tail); tails[p-1] is the
+        # TRUE halo of process p's first window, used by the escalation
+        # re-decode so interior process seams never under-read (the device
+        # path gets the same samples via ppermute).
+        hs_, w_, halo_ = spec.halo_staged, spec.window, spec.halo
+        local_tail = sb_local[-1, -1, hs_ + w_ - halo_ : hs_ + w_]
+        tails = np.asarray(multihost_utils.process_allgather(local_tail))
+
         # Fetch only the addressable shards: global shard row -> (K, P).
         shard_bufs: Dict[int, np.ndarray] = {}
         for sh in packed.addressable_shards:
@@ -172,6 +189,7 @@ class MultiHostDecoder:
         total_valid = valid_blocks if valid_blocks is not None else n * k * wb
         first_global_window = self._window_index
         carry_prev = self._carry
+        self._left_tail = tails[p - 1] if p > 0 else carry_prev
 
         msgs: List[Tuple[int, Message]] = []
         for s_global in sorted(shard_bufs):
@@ -187,7 +205,7 @@ class MultiHostDecoder:
                     sb_local,
                     s_global - p * self.n_local,
                     kk,
-                    carry_prev,
+                    self._left_tail,
                 )
                 msgs.extend(
                     self._local._complete_window(
@@ -203,69 +221,109 @@ class MultiHostDecoder:
         self._window_index += n * k
         self._first = False
 
-        # Carry: the stream tail lives on the LAST process; broadcast it.
-        hs, w, halo = spec.halo_staged, spec.window, spec.halo
-        local_tail = sb_local[-1, -1, hs + w - halo : hs + w]
-        self._carry = np.asarray(
-            multihost_utils.broadcast_one_to_all(
-                local_tail, is_source=(p == self.num_processes - 1)
-            )
-        )
+        # Carry: the stream tail lives on the LAST process (tails[-1]).
+        self._carry = tails[-1]
 
         return self._seam_dedup(msgs)
 
     # -- cross-process seam dedup -------------------------------------------
 
+    #: base digest capacity per boundary block in the fixed-size exchange;
+    #: a boundary block with more messages triggers a LOUD second allgather
+    #: round at the exact needed capacity (never silent truncation).
+    SEAM_DIGEST_CAP = 64
+
     def _seam_dedup(
         self, msgs: List[Tuple[int, Message]]
     ) -> List[Tuple[int, Message]]:
-        """Drop this process's first-block messages that duplicate the left
-        neighbor's last block (digest dedup across the host seam).
+        """Drop this process's first-block messages that duplicate the
+        global predecessor block (digest dedup across the host seam).
 
         The reference's dedup window is exactly one block (prev/next digest
         maps, main.go:252-260, 292), so only adjacent blocks interact; the
-        in-process BlockDeduper already handled everything else.
+        in-process BlockDeduper already handled everything else. Two seams
+        remain: (a) process p's first block vs process p-1's last block of
+        the SAME super-batch, and (b) process 0's first block of super-batch
+        j+1 vs the LAST process's last block of super-batch j — carried in
+        ``self._prev_batch_tail`` across calls.
         """
         from jax.experimental import multihost_utils
 
         if self.num_processes == 1:
             return msgs
 
-        # (first_block, last_block) and their digest sets, fixed-size packed.
-        CAP = 64  # digests exchanged per boundary block
-        enc = np.zeros((2, CAP, 8), np.uint8)  # [first|last][slot][u64 hash]
-        blocks = np.full(2, -1, np.int64)
-        if msgs:
-            first_b = msgs[0][0]
-            last_b = msgs[-1][0]
-            blocks[0], blocks[1] = first_b, last_b
-            for row, b in ((0, first_b), (1, last_b)):
-                ds = [
-                    _digest_hash(mk_digest(m)) for blk, m in msgs if blk == b
-                ][:CAP]
-                for i, d in enumerate(ds):
-                    enc[row, i] = d
-        both = multihost_utils.process_allgather(
-            np.concatenate([blocks.view(np.uint8), enc.reshape(-1)])
-        )  # (num_processes, 16 + 2*CAP*8)
+        first_b = msgs[0][0] if msgs else -1
+        last_b = msgs[-1][0] if msgs else -1
+        my_first = [
+            bytes(_digest_hash(mk_digest(m))) for blk, m in msgs if blk == first_b
+        ]
+        my_last = [
+            bytes(_digest_hash(mk_digest(m))) for blk, m in msgs if blk == last_b
+        ]
 
+        def exchange(cap: int) -> np.ndarray:
+            """Allgather [first_block, last_block, n_first, n_last] + the
+            digest hashes of both boundary blocks, ``cap`` slots each."""
+            enc = np.zeros((2, cap, 8), np.uint8)
+            for row, ds in ((0, my_first), (1, my_last)):
+                for i, d in enumerate(ds[:cap]):
+                    enc[row, i] = np.frombuffer(d, np.uint8)
+            header = np.array(
+                [first_b, last_b, len(my_first), len(my_last)], np.int64
+            )
+            return np.asarray(
+                multihost_utils.process_allgather(
+                    np.concatenate([header.view(np.uint8), enc.reshape(-1)])
+                )
+            )  # (num_processes, 32 + 2*cap*8)
+
+        cap = self.SEAM_DIGEST_CAP
+        both = exchange(cap)
+        counts = both[:, :32].view(np.int64)[:, 2:4]
+        need = int(counts.max()) if counts.size else 0
+        if need > cap:
+            # A boundary block overflowed the base capacity: every process
+            # sees the same allgathered counts and agrees to a second round
+            # at the exact size. Surfaced via metrics (no silent truncation).
+            self._local.metrics.extra["seam_digest_overflows"] = (
+                self._local.metrics.extra.get("seam_digest_overflows", 0) + 1
+            )
+            cap = need
+            both = exchange(cap)
+
+        def unpack(row: np.ndarray) -> Tuple[int, int, set, set]:
+            hdr = row[:32].view(np.int64)
+            digs = row[32:].reshape(2, cap, 8)
+            sets = []
+            for r, n_d in ((0, int(hdr[2])), (1, int(hdr[3]))):
+                sets.append({bytes(digs[r, i]) for i in range(n_d)})
+            return int(hdr[0]), int(hdr[1]), sets[0], sets[1]
+
+        # Predecessor of my first block: left neighbor in-batch, or the
+        # previous batch's global tail for process 0.
         p = self.process_id
-        if p == 0 or not msgs:
+        if p == 0:
+            pred = self._prev_batch_tail
+        else:
+            _, l_last, _, l_last_digs = unpack(both[p - 1])
+            pred = (l_last, l_last_digs) if l_last >= 0 else None
+
+        # Remember the global tail of THIS batch for the next call.
+        _, t_last, _, t_last_digs = unpack(both[-1])
+        self._prev_batch_tail = (
+            (t_last, t_last_digs) if t_last >= 0 else None
+        )
+
+        if not msgs or pred is None:
             return msgs
-        left = both[p - 1]
-        left_last_block = int(left[:16].view(np.int64)[1])
-        my_first_block = msgs[0][0]
-        if left_last_block < 0 or my_first_block != left_last_block + 1:
+        pred_block, pred_digests = pred
+        if first_b != pred_block + 1:
             return msgs  # not adjacent: no dedup (empty block clears prev)
-        left_digests = {
-            bytes(left[16 + CAP * 8 + i * 8 : 16 + CAP * 8 + (i + 1) * 8])
-            for i in range(CAP)
-        } - {b"\x00" * 8}
         out = []
         for blk, m in msgs:
-            if blk == my_first_block and bytes(
+            if blk == first_b and bytes(
                 _digest_hash(mk_digest(m))
-            ) in left_digests:
+            ) in pred_digests:
                 self._local.metrics.messages_dropped_dup += 1
                 continue
             out.append((blk, m))
@@ -281,13 +339,13 @@ def _digest_hash(d) -> np.ndarray:
     return np.frombuffer(h, np.uint8)
 
 
-def _local_staged_window(spec, sb_local, s_local, k, carry_prev):
-    """Escalation re-decode source for a LOCAL shard window. The k==0 halo
-    of local shard 0 uses the carry only when this is the stream's leftmost
-    shard; interior process seams fall back to the zero halo (the escalation
-    path then under-reads the seam packet — the device path already decoded
-    it via ppermute, and seam windows overflowing capacity is a double-rare
-    event surfaced by metrics.hit_overflows)."""
+def _local_staged_window(spec, sb_local, s_local, k, left_halo):
+    """Escalation re-decode source for a LOCAL shard window.
+
+    ``left_halo`` is the TRUE halo of this process's first window: the
+    previous super-batch's carry for process 0, the left neighbor's
+    allgathered last-window tail for interior processes — so the escalation
+    path sees exactly the samples the device path received via ppermute."""
     from .mesh import _staged_window
 
-    return _staged_window(spec, sb_local, s_local, k, carry_prev)
+    return _staged_window(spec, sb_local, s_local, k, left_halo)

@@ -2,13 +2,24 @@
 
 Usage (one invocation per simulated host):
   python tools/multihost_worker.py <coordinator> <num_procs> <proc_id> \
-      <out_json> [devices_per_proc=2] [scan_windows=2]
+      <out_json> [devices_per_proc=2] [scan_windows=2] [scenario=basic]
 
 Each process regenerates the same deterministic global capture (stand-in
 for its shard of a distributed ingest), feeds only its OWN contiguous
 segment to MultiHostDecoder, and writes its decoded (block, type, id,
 message-string) records to <out_json>. The parent test asserts the union
 over processes equals the single-process oracle exactly once each.
+
+Scenarios:
+  basic — one super-batch; packets inside each process's run plus one
+          straddling the process seam (DCN halo exactly-once recovery).
+  hard  — two super-batches with max_hits=1: a capacity-overflow storm in
+          the window AT the process seam (the escalation re-decode must see
+          the true cross-process halo, parallel/distributed.py
+          _local_staged_window), and a preamble plateau straddling the
+          super-batch boundary (process 0's first block of batch 1 must
+          dedup against the last process's last block of batch 0 — the
+          cross-super-batch seam carry).
 """
 
 from __future__ import annotations
@@ -42,6 +53,57 @@ def build_capture(cfg, w, n_windows, chip):
     return synth.render_iq(n_windows * w, bursts, chip, noise=2.0, seed=77)
 
 
+def build_capture_hard(cfg, w, batch_windows, n_batches, chip, halo):
+    """Two-super-batch capture for the 'hard' scenario (see module doc).
+
+    Batch 0: one packet in process 0's run; a packet straddling the process
+    seam PLUS a second distinct packet in the same window (with max_hits=1
+    that window overflows -> escalation re-decode at the seam); a packet
+    whose preamble plateau straddles the super-batch boundary. Batch 1: one
+    packet inside the last process's run.
+    """
+    from rtlamr_tpu.ref import synth
+
+    sl = cfg.symbol_length
+    scm_len = 96 * sl
+    seam = (batch_windows // 2) * w  # process seam (samples)
+    batch_end = batch_windows * w  # super-batch boundary (samples)
+    bursts = [
+        synth.bits_to_burst(
+            synth.make_scm_bits(meter_id=111111, consumption=1),
+            cfg.block_size // 2,
+        ),
+        # Straddles the process seam (all but 4 samples live in the LEFT
+        # process's stream); decoded from the ppermute halo.
+        synth.bits_to_burst(
+            synth.make_scm_bits(meter_id=222222, consumption=2),
+            seam - scm_len + 4,
+        ),
+        # Second distinct candidate in the SAME window (disjoint samples:
+        # packets may extend past the window's search span) => overflow
+        # storm at the seam window when max_hits=1.
+        synth.bits_to_burst(
+            synth.make_scm_bits(meter_id=444444, consumption=4), seam + 8
+        ),
+        # Preamble plateau straddling the super-batch boundary: the hit
+        # position batch_end - halo is the first search position of batch
+        # 1's first window; the plateau's left half lands in the last
+        # process's last block of batch 0.
+        synth.bits_to_burst(
+            synth.make_scm_bits(meter_id=555555, consumption=5),
+            batch_end - halo,
+        ),
+        # Interior packet in batch 1.
+        synth.bits_to_burst(
+            synth.make_scm_bits(meter_id=666666, consumption=6),
+            batch_end + seam + 2 * cfg.block_size,
+        ),
+    ]
+    return synth.render_iq(
+        n_batches * batch_windows * w, bursts, chip, noise=2.0, seed=78
+    )
+
+
 def main() -> None:
     coordinator, num_procs, proc_id, out_path = (
         sys.argv[1],
@@ -51,6 +113,7 @@ def main() -> None:
     )
     devices_per_proc = int(sys.argv[5]) if len(sys.argv) > 5 else 2
     scan_windows = int(sys.argv[6]) if len(sys.argv) > 6 else 2
+    scenario = sys.argv[7] if len(sys.argv) > 7 else "basic"
 
     from rtlamr_tpu.parallel.distributed import MultiHostDecoder, initialize
 
@@ -63,16 +126,27 @@ def main() -> None:
 
     chip = 8
     parsers = [new_parser("scm", chip)]
+    max_hits = 1 if scenario == "hard" else 256
+    n_batches = 2 if scenario == "hard" else 1
     dec = MultiHostDecoder(
-        parsers, window_blocks=None, scan_windows=scan_windows
+        parsers, window_blocks=None, scan_windows=scan_windows,
+        max_hits=max_hits,
     )
     w = dec.spec.window
-    n_windows = dec.n_global * scan_windows
-    iq = build_capture(dec.cfg, w, n_windows, chip)
+    batch_windows = dec.n_global * scan_windows
+    if scenario == "hard":
+        iq = build_capture_hard(
+            dec.cfg, w, batch_windows, n_batches, chip, dec.spec.halo
+        )
+    else:
+        iq = build_capture(dec.cfg, w, batch_windows, chip)
 
-    lo = proc_id * dec.local_window_bytes
-    hi = lo + dec.local_window_bytes
-    msgs = dec.decode_superbatch_local(iq[lo:hi])
+    msgs = []
+    for j in range(n_batches):
+        base = j * num_procs * dec.local_window_bytes
+        lo = base + proc_id * dec.local_window_bytes
+        hi = lo + dec.local_window_bytes
+        msgs.extend(dec.decode_superbatch_local(iq[lo:hi]))
 
     records = [
         {
@@ -84,7 +158,14 @@ def main() -> None:
         for b, m in msgs
     ]
     with open(out_path, "w") as f:
-        json.dump({"process": proc_id, "messages": records}, f)
+        json.dump(
+            {
+                "process": proc_id,
+                "messages": records,
+                "metrics": dec._local.metrics.snapshot(),
+            },
+            f,
+        )
     print(f"process {proc_id}: {len(records)} messages", file=sys.stderr)
 
 
