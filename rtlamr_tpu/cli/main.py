@@ -170,9 +170,35 @@ class Receiver:
         return RtlTcpSource(client)
 
 
+def _enable_compile_cache() -> None:
+    """Persist XLA compiles across CLI invocations.
+
+    Remote-attached TPU transports compile slowly; the on-disk cache makes
+    every run after the first start in milliseconds. Opt out with
+    RTLAMR_JAX_CACHE=off; override the location with RTLAMR_JAX_CACHE=dir.
+    """
+    loc = os.environ.get("RTLAMR_JAX_CACHE", "")
+    if loc.lower() == "off":
+        return
+    if not loc:
+        loc = os.path.join(
+            os.environ.get("XDG_CACHE_HOME", os.path.expanduser("~/.cache")),
+            "rtlamr_tpu",
+            "jax",
+        )
+    try:
+        os.makedirs(loc, exist_ok=True)
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", loc)
+    except Exception:
+        pass  # cache is an optimization; never block the decode
+
+
 def run(fs: FlagSet, out=sys.stdout) -> int:
     from ..utils.observability import RateWatchdog, profile_trace
 
+    _enable_compile_cache()
     receiver = Receiver(fs)
     dumper = SampleDumper(fs.value("samplefile"))
     encoder = make_encoder(fs.value("format"), out, fs.value("samplefile"))

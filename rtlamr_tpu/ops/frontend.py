@@ -39,7 +39,7 @@ from __future__ import annotations
 
 import functools
 from dataclasses import dataclass
-from typing import Dict, List, NamedTuple, Sequence, Tuple
+from typing import Dict, List, NamedTuple, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -63,6 +63,10 @@ class GroupSpec:
     bits: Tuple[int, ...]
     packet_symbols: int
     wants_r900: bool
+    #: per-parser device validity descriptors (protocols.base.DeviceValidator,
+    #: OR across parsers); None when any parser in the group can't validate
+    #: on device, disabling the pre-compaction checksum filter.
+    validators: Optional[Tuple[object, ...]] = None
 
 
 @dataclass(frozen=True)
@@ -80,6 +84,12 @@ class FrontendSpec:
     wants_r900: bool
     #: "jnp" (pure XLA) or "pallas" (fused stencil kernel for bits/q6)
     backend: str = "jnp"
+    #: run the per-group checksum gates (CRC-16 / R900 RS, SURVEY §2 C9/C10)
+    #: inside the window program so only valid candidates occupy result
+    #: slots. Semantics-free: parsers re-validate survivors on host, and
+    #: dropping checksum-failing candidates cannot change the message set
+    #: (duplicates of an invalid candidate are equally invalid).
+    device_validate: bool = True
     #: internal gather capacity before duplicate collapse. Preamble hits form
     #: plateaus of adjacent positions slicing identical packets; the device
     #: collapses same-block adjacent duplicates (semantics-safe: the host
@@ -213,18 +223,21 @@ def make_frontend_spec(
     window_blocks: int,
     max_hits: int = 256,
     backend: str = "jnp",
+    device_validate: bool = True,
 ) -> FrontendSpec:
     groups = []
     wants_any = False
     for preamble, parsers in cfg.preamble_groups.items():
         wants = any(p.wants_r900_symbols for p in parsers)
         wants_any = wants_any or wants
+        vals = tuple(p.device_validator() for p in parsers)
         groups.append(
             GroupSpec(
                 preamble=preamble,
                 bits=tuple(int(c) for c in preamble),
                 packet_symbols=cfg.group_packet_symbols(preamble),
                 wants_r900=wants,
+                validators=None if any(v is None for v in vals) else vals,
             )
         )
     window = window_blocks * cfg.block_size
@@ -243,6 +256,7 @@ def make_frontend_spec(
         groups=tuple(groups),
         wants_r900=wants_any,
         backend=backend,
+        device_validate=device_validate,
         # The slicing gather's cost is proportional to this static capacity
         # (whether slots are used or not), so keep it tight; overflow
         # escalates to a larger program variant, then to the exact host path.
@@ -481,6 +495,99 @@ def _packed_rows_from(
     return jnp.take(p8.reshape(-1), flat)
 
 
+# ---------------------------------------------------------------------------
+# Device-side batched checksum gates (SURVEY §2 C9/C10 build targets).
+#
+# The CRC fold is the bitwise MSB-first formulation — exactly the table CRC
+# of crc/crc.go:34-55 with the 256-entry lookup replaced by 8 pure-VPU
+# shift/xor steps per byte (no gathers; the batch axis carries the
+# vectorization). The GF(32) constant-multiply of the RS syndrome Horner
+# fold (r900/gf/gf.go:152-172) is GF(2)-linear in the 5-bit accumulator, so
+# multiply-by-alpha^(29+i) becomes 5 masked XORs against precomputed basis
+# images — again gather-free.
+
+
+def _crc16_batch_jnp(data: jnp.ndarray, init: int, poly: int) -> jnp.ndarray:
+    """CRC-16 over each row of an (N, L) uint8 matrix -> (N,) int32."""
+    cols = data.T.astype(jnp.int32)  # (L, N): lanes advance in lockstep
+
+    def step(crc, byte):
+        crc = crc ^ (byte << 8)
+        for _ in range(8):
+            crc = ((crc << 1) & 0xFFFF) ^ jnp.where(
+                (crc & 0x8000) != 0, poly, 0
+            )
+        return crc, None
+
+    crc0 = jnp.full(cols.shape[1], init, jnp.int32)
+    crc, _ = jax.lax.scan(step, crc0, cols)
+    return crc
+
+
+@functools.lru_cache(maxsize=None)
+def _r900_rs_basis() -> np.ndarray:
+    """B[i, j] = alpha^(29+i) * 2^j in GF(32) — the linear-map images of the
+    syndrome fold's constant multipliers (r900/r900.go:215-221)."""
+    from ..utils.gf import r900_field
+
+    f = r900_field()
+    b = np.zeros((5, 5), np.int32)
+    for i in range(5):
+        m = f.exp_((29 + i) % f.order)
+        for j in range(5):
+            b[i, j] = f.mul(m, 1 << j)
+    return b
+
+
+def _r900_rs_valid_jnp(syms: jnp.ndarray) -> jnp.ndarray:
+    """(N, 42) 6-ary payload digits -> (N,) bool: base-6 pairs in range and
+    all five GF(32) RS syndromes zero (r900/r900.go:199-221)."""
+    n = syms.shape[0]
+    d = syms.astype(jnp.int32).reshape(n, 21, 2)
+    sym = d[:, :, 0] * 6 + d[:, :, 1]  # (N, 21) 5-bit symbols
+    in_range = jnp.all(sym <= 31, axis=1)
+    sym = sym & 31
+    # Codeword: data at [0:16], zeros at [16:26], parity at [26:31].
+    cw = jnp.concatenate(
+        [sym[:, :16], jnp.zeros((n, 10), jnp.int32), sym[:, 16:21]], axis=1
+    )
+    basis = jnp.asarray(_r900_rs_basis())  # (5 parities, 5 bits)
+    syn = jnp.broadcast_to(cw[:, :1], (n, 5))
+
+    def step(syn, v):
+        acc = jnp.zeros_like(syn)
+        for j in range(5):
+            acc = acc ^ (((syn >> j) & 1) * basis[None, :, j])
+        return acc ^ v[:, None], None
+
+    syn, _ = jax.lax.scan(step, syn, cw.T[1:])
+    return in_range & jnp.all(syn == 0, axis=1)
+
+
+def _device_valid_mask(
+    group: GroupSpec, packed: jnp.ndarray, syms
+) -> jnp.ndarray:
+    """OR over the group's parser validators; each is an AND of CRC gates
+    plus the optional RS gate (mirrors Parser.valid_mask batched on host)."""
+    n = packed.shape[0]
+    valid = jnp.zeros(n, jnp.bool_)
+    for v in group.validators:
+        ok = jnp.ones(n, jnp.bool_)
+        for c in v.crcs:
+            data = (
+                packed[:, c.ranges[0][0] : c.ranges[0][1]]
+                if len(c.ranges) == 1
+                else jnp.concatenate(
+                    [packed[:, a:b] for a, b in c.ranges], axis=1
+                )
+            )
+            ok = ok & (_crc16_batch_jnp(data, c.init, c.poly) == c.residue)
+        if v.rs:
+            ok = ok & _r900_rs_valid_jnp(syms)
+        valid = valid | ok
+    return valid
+
+
 def search_slice(spec: FrontendSpec, bits: jnp.ndarray, q6, mask2d):
     """Hit compaction and packet slicing over the quantized streams.
 
@@ -587,6 +694,16 @@ def search_slice(spec: FrontendSpec, bits: jnp.ndarray, q6, mask2d):
             base = spec.preamble_length - sl
             syms = _strided_rows_from(
                 q6_mat, safe_idx + base, 4 * cl, PAYLOAD_SYMBOLS
+            )
+
+        # Checksum gate on device (crc/crc.go:49-55, r900/r900.go:215-221):
+        # only candidates some parser could turn into a message occupy
+        # output slots. Semantics-free (host parsers re-validate survivors;
+        # duplicates of an invalid candidate are equally invalid) and makes
+        # capacity overflow a function of VALID packets, not noise plateaus.
+        if spec.device_validate and group.validators is not None:
+            valid = jnp.logical_and(
+                valid, _device_valid_mask(group, packed, syms)
             )
 
         # Collapse same-block ADJACENT duplicates: preamble-hit plateaus

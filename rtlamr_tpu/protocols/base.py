@@ -25,7 +25,7 @@ from __future__ import annotations
 
 import math
 from dataclasses import dataclass, field
-from typing import Callable, Dict, List, NamedTuple, Optional, Sequence
+from typing import Callable, Dict, List, NamedTuple, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -184,6 +184,42 @@ def digest(msg: Message) -> Digest:
 
 
 # ---------------------------------------------------------------------------
+# Device-side validity descriptors
+
+from dataclasses import dataclass as _frozen_dataclass  # noqa: E402
+
+
+@_frozen_dataclass(frozen=True)
+class CrcCheck:
+    """One CRC-16 gate over a concatenation of packed-byte ranges.
+
+    Static data baked into the jitted window program (ops/frontend): the
+    candidate passes when the MSB-first table CRC (crc/crc.go:49-55) of
+    ``bytes[a0:b0] ++ bytes[a1:b1] ++ ...`` equals ``residue``.
+    """
+
+    init: int
+    poly: int
+    residue: int
+    ranges: Tuple[Tuple[int, int], ...]
+
+
+@_frozen_dataclass(frozen=True)
+class DeviceValidator:
+    """A parser's candidate-validity predicate, evaluable on device.
+
+    ``crcs`` must ALL pass; ``rs`` additionally requires the R900 base-6
+    digit range check + all-zero GF(32) Reed-Solomon syndromes
+    (r900/r900.go:199-221). Must accept a SUPERSET of what the parser's
+    :meth:`Parser.parse` turns into messages (same contract as
+    :meth:`Parser.valid_mask`, which remains the host-side mirror).
+    """
+
+    crcs: Tuple[CrcCheck, ...] = ()
+    rs: bool = False
+
+
+# ---------------------------------------------------------------------------
 # Candidates and parsers
 
 
@@ -258,6 +294,17 @@ class Parser:
         semantic authority on the survivors.
         """
         return np.ones(data.shape[0], dtype=bool)
+
+    def device_validator(self) -> Optional[DeviceValidator]:
+        """Static descriptor of :meth:`valid_mask` for the device program.
+
+        When every parser of a preamble group provides one, the jitted
+        window program drops checksum-failing candidates BEFORE result
+        compaction (SURVEY §2 C9/C10 build targets), so only valid
+        candidates occupy the max_hits output slots. None (the default)
+        disables device-side filtering for the group.
+        """
+        return None
 
 
 # ---------------------------------------------------------------------------

@@ -188,6 +188,16 @@ class IDMParser(Parser):
         serial = np.concatenate([data[:, 9:13], data[:, 88:90]], axis=1)
         return pkt_ok & (self.crc.checksum_batch(serial) == self.crc.residue)
 
+    def device_validator(self):
+        from .base import CrcCheck, DeviceValidator
+
+        return DeviceValidator(
+            crcs=(
+                CrcCheck(0xFFFF, 0x1021, 0x1D0F, ((4, 92),)),
+                CrcCheck(0xFFFF, 0x1021, 0x1D0F, ((9, 13), (88, 90))),
+            )
+        )
+
     def parse(self, candidates: Sequence[Candidate]) -> List[Message]:
         out: List[Message] = []
         seen = set()

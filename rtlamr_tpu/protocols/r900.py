@@ -161,6 +161,11 @@ class R900Parser(Parser):
         syn_ok = ~rs_syndromes_batch(codewords, 5, 29).any(axis=1)
         return in_range & syn_ok
 
+    def device_validator(self):
+        from .base import DeviceValidator
+
+        return DeviceValidator(rs=True)
+
     def _wrap(self, msg: R900) -> Message:
         return msg
 

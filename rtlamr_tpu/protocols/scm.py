@@ -109,6 +109,11 @@ class SCMParser(Parser):
         """Batched BCH CRC over bytes[2:12] == 0 (scm/scm.go:76)."""
         return self.crc.checksum_batch(data[:, 2:12]) == 0
 
+    def device_validator(self):
+        from .base import CrcCheck, DeviceValidator
+
+        return DeviceValidator(crcs=(CrcCheck(0, 0x6F63, 0, ((2, 12),)),))
+
     def parse(self, candidates: Sequence[Candidate]) -> List[Message]:
         out: List[Message] = []
         seen = set()

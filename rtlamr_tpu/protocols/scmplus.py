@@ -115,6 +115,13 @@ class SCMPlusParser(Parser):
         """Batched CCITT CRC over bytes[2:] == residue (scmplus.go:77)."""
         return self.crc.checksum_batch(data[:, 2:16]) == self.crc.residue
 
+    def device_validator(self):
+        from .base import CrcCheck, DeviceValidator
+
+        return DeviceValidator(
+            crcs=(CrcCheck(0xFFFF, 0x1021, 0x1D0F, ((2, 16),)),)
+        )
+
     def parse(self, candidates: Sequence[Candidate]) -> List[Message]:
         out: List[Message] = []
         seen = set()
