@@ -1,0 +1,271 @@
+"""Wideband polyphase channelizer — frequency-channel parallelism.
+
+The reference tunes ONE ~2.4 MS/s slab of the 902-928 MHz ISM band and
+decodes whatever hops into its passband (misc/modes.go:14-16: ERT channel
+width 196,568 Hz, ~12 hop channels covered per 2.36 MS/s of sample rate).
+A TPU has the arithmetic to watch the WHOLE band at once: this module
+splits a wideband IQ stream sampled at ``n_channels x (32768 * chip_length)``
+into ``n_channels`` critically-sampled complex basebands, each exactly the
+sample rate the decoder frontend (ops/frontend.py) expects — so every slab
+of the band feeds the same decode program, composable as an embarrassingly
+parallel ``channel`` mesh axis (no halo, unlike the time axis).
+
+Design (classic analysis DFT filter bank, TPU-shaped):
+
+- A windowed-sinc prototype lowpass ``h`` of length ``taps_per_branch * N``
+  (unity DC gain) is decomposed into N polyphase branches.
+- Branch signals ``y_b[m] = sum_p h[pN+b] * x[mN - pN - b]`` are computed as
+  ``taps_per_branch`` shifted element-wise multiply-adds over a strided
+  (frames, N) view — pure VPU work, no gathers.
+- Channels are recovered by an N-point IFFT across the branch axis:
+  ``x_c[m] = N * IFFT_b(y_b[m])[c]`` — equal to mixing x down by channel
+  frequency c/N and lowpass-decimating by N (derivation in
+  :func:`channelize`). The FFT batches over frames, which is the long axis.
+- Requantization maps each channel back to the rtl-sdr u8 convention
+  (DC offset 127.5, decode.go:212) — packed directly as the staged u16
+  elements the decode program consumes, so a fused wideband->candidates
+  program never materializes intermediate channels in HBM.
+
+Streaming: the filter needs ``taps_per_branch * N`` wideband samples of
+history; callers carry that tail between chunks (:func:`history_len`).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclass(frozen=True)
+class ChannelizerSpec:
+    """Static configuration of the analysis filter bank."""
+
+    n_channels: int
+    #: prototype filter taps per polyphase branch (filter length / N).
+    taps_per_branch: int = 8
+    #: lowpass cutoff as a multiple of the channel Nyquist 1/(2N); >1 trades
+    #: adjacent-channel rejection for sharper OOK chip edges.
+    cutoff_scale: float = 1.0
+
+    @property
+    def length(self) -> int:
+        return self.taps_per_branch * self.n_channels
+
+    @property
+    def history_frames(self) -> int:
+        """Frames of branch-major history a streaming caller must carry
+        (``taps_per_branch`` frames = one prototype-filter length)."""
+        return self.taps_per_branch
+
+    @property
+    def history(self) -> int:
+        """History in wideband samples (= length, for documentation)."""
+        return self.length
+
+
+def history_len(spec: ChannelizerSpec) -> int:
+    return spec.history
+
+
+@functools.lru_cache(maxsize=None)
+def prototype_lowpass(spec: ChannelizerSpec) -> np.ndarray:
+    """Hamming-windowed sinc, cutoff ``cutoff_scale/(2N)``, unity DC gain."""
+    n = spec.length
+    cutoff = spec.cutoff_scale / (2 * spec.n_channels)
+    t = np.arange(n) - (n - 1) / 2.0
+    h = 2 * cutoff * np.sinc(2 * cutoff * t)
+    h *= np.hamming(n)
+    h /= h.sum()
+    h.flags.writeable = False
+    return h
+
+
+@functools.lru_cache(maxsize=None)
+def _polyphase_taps(spec: ChannelizerSpec) -> np.ndarray:
+    """h2[p, b] = h[p*N + b] — the per-branch tap matrix."""
+    h = prototype_lowpass(spec)
+    out = h.reshape(spec.taps_per_branch, spec.n_channels).copy()
+    out.flags.writeable = False
+    return out
+
+
+@functools.lru_cache(maxsize=None)
+def _mix_matrix(spec: ChannelizerSpec):
+    """E[c, b] = exp(+j 2 pi c b / N) as separate (re, im) f32 matrices."""
+    n = spec.n_channels
+    c = np.arange(n)[:, None]
+    b = np.arange(n)[None, :]
+    ang = 2 * np.pi * c * b / n
+    re = np.cos(ang).astype(np.float32)
+    im = np.sin(ang).astype(np.float32)
+    re.flags.writeable = False
+    im.flags.writeable = False
+    return re, im
+
+
+def iq_bytes_to_frames(spec: ChannelizerSpec, iq: jnp.ndarray) -> jnp.ndarray:
+    """u8 interleaved wideband IQ -> (2, N, F) f32 position-major planes.
+
+    frames[s, j, m] = component s of wideband sample m*N + j, DC offset
+    removed. ONE u8 reshape+transpose moves the data into the frame-minor
+    layout every downstream op wants; everything after it is full-lane VPU
+    or MXU work. (Any f32 array with N or 2 as a minor dim would be padded
+    to the (8, 128) tile — up to 64x waste — so the interleaved byte
+    stream is untangled here, once, at u8 width.)
+    """
+    n = spec.n_channels
+    z = iq.reshape(-1, 2 * n).T.astype(jnp.float32) - 127.5  # (2N, F)
+    return jnp.stack([z[0::2], z[1::2]], axis=0)  # (2, N, F)
+
+
+def ri_to_frames(spec: ChannelizerSpec, ri: jnp.ndarray) -> jnp.ndarray:
+    """(2, T) f32 re/im sample planes -> (2, N, F) position-major frames
+    (test/synthesis helper; T must be a whole number of frames)."""
+    n = spec.n_channels
+    return ri.reshape(2, -1, n).transpose(0, 2, 1)
+
+
+def polyphase_branches(
+    spec: ChannelizerSpec, hist: jnp.ndarray, frames: jnp.ndarray
+) -> jnp.ndarray:
+    """Branch signals y[b, m] = sum_p h[pN+b] * x[mN - pN - b].
+
+    ``frames`` is (2, N, F) position-major (from :func:`iq_bytes_to_frames`),
+    ``hist`` is (2, N, P) — the previous chunk's last ``history_frames``
+    frames (zeros at the stream head). Returns (2, N, F) f32 branch
+    signals, frames on the minor (lane) axis.
+
+    With x[kN + j] = frames[., j, k]: branch b reads position j_b =
+    (N - b) mod N, delayed one frame for b >= 1 — a row permutation plus a
+    one-frame shift of the stacked series, then each tap is a shifted
+    multiply-add along the frame axis (full-lane VPU work);
+    :func:`mix_channels` applies the DFT across b.
+    """
+    n = spec.n_channels
+    p_taps = spec.taps_per_branch
+    h2 = jnp.asarray(_polyphase_taps(spec), jnp.float32)
+    f = frames.shape[2]
+    h = hist.shape[2]
+    assert h == p_taps, "history must be taps_per_branch frames"
+
+    full = jnp.concatenate([hist, frames], axis=2)  # (2, N, P+F)
+    # Row order j_b: b=0 -> 0, b>=1 -> N-b; rows b>=1 delayed one frame.
+    g_perm = jnp.concatenate([full[:, :1], full[:, :0:-1]], axis=1)
+    shifted = jnp.concatenate(
+        [g_perm[:, 1:, :1], g_perm[:, 1:, :-1]], axis=2
+    )  # garbage in column 0, never read (min index used is 1 for H = P)
+    g = jnp.concatenate([g_perm[:, :1], shifted], axis=1)  # (2, N, P+F)
+
+    y = jnp.zeros((2, n, f), jnp.float32)
+    for p in range(p_taps):
+        y = y + h2[p][None, :, None] * jax.lax.dynamic_slice(
+            g, (0, 0, h - p), (2, n, f)
+        )
+    return y
+
+
+def mix_channels(
+    spec: ChannelizerSpec,
+    y: jnp.ndarray,
+    channel_start: int = 0,
+    channel_count: Optional[int] = None,
+) -> jnp.ndarray:
+    """x_c[m] = sum_b y[b, m] e^{+j 2 pi c b / N} for a channel block.
+
+    Four real (C_blk, N) @ (N, F) matmuls — MXU work, and a mesh shard can
+    compute ONLY its own channel rows (channel_start/count), which is what
+    makes the channel axis shardable without an all-to-all.
+
+    ``y`` is (2, N, F) f32 from :func:`polyphase_branches`; returns
+    (2, C_blk, F) f32 re/im planes.
+    """
+    n = spec.n_channels
+    if channel_count is None:
+        channel_count = n
+    er_np, ei_np = _mix_matrix(spec)
+    if isinstance(channel_start, int):
+        er = jnp.asarray(er_np[channel_start : channel_start + channel_count])
+        ei = jnp.asarray(ei_np[channel_start : channel_start + channel_count])
+    else:  # traced start (e.g. a mesh axis_index): slice the constant
+        er = jax.lax.dynamic_slice_in_dim(
+            jnp.asarray(er_np), channel_start, channel_count, axis=0
+        )
+        ei = jax.lax.dynamic_slice_in_dim(
+            jnp.asarray(ei_np), channel_start, channel_count, axis=0
+        )
+    yr, yi = y[0], y[1]  # (N, F)
+    # HIGHEST precision: keeps the mix in true f32 (TPU matmuls default to
+    # bf16, whose half-ULP at amplitude ~127 could flip the u8 requantize
+    # rounding and desync from the f32 oracle); the (C, N) contraction is
+    # tiny, so the extra passes are free.
+    dot = functools.partial(
+        jnp.matmul, precision=jax.lax.Precision.HIGHEST
+    )
+    cr = dot(er, yr) - dot(ei, yi)
+    ci = dot(er, yi) + dot(ei, yr)
+    return jnp.stack([cr, ci], axis=0)
+
+
+def channelize(
+    spec: ChannelizerSpec, hist: jnp.ndarray, frames: jnp.ndarray
+) -> jnp.ndarray:
+    """Split a wideband stream chunk into N critically-sampled channels.
+
+    Args:
+      spec: filter bank configuration.
+      hist: (2, N, history_frames) f32 — previous chunk's last frames
+        (zeros at the stream head); the caller carries
+        ``frames[:, :, -history_frames:]`` forward.
+      frames: (2, N, F) f32 position-major chunk
+        (:func:`iq_bytes_to_frames`).
+
+    Returns (2, N, F) f32: channel c frame m is the lowpass-decimated
+    mix-down ``sum_k h[k] x[mN - k] e^{-j 2 pi c (mN - k) / N}`` where
+    wideband sample 0 of the chunk is frame 0 — i.e. channel c is centered
+    ``c/N`` of the wideband rate above the capture center (aliased:
+    c > N/2 lands below; see :func:`channel_offsets_hz`).
+
+    Derivation: with k = pN + b, ``e^{-j2pi c(mN-k)/N} = e^{+j2pi c b/N}``
+    (the mN and pN terms vanish mod N), so
+    ``x_c[m] = sum_b e^{j2pi cb/N} y_b[m]`` — a DFT across the branch axis,
+    evaluated as a matmul (:func:`mix_channels`).
+    """
+    return mix_channels(spec, polyphase_branches(spec, hist, frames))
+
+
+def requantize_u16(channels: jnp.ndarray) -> jnp.ndarray:
+    """(2, C, F) re/im channels -> (C, F) staged u16 (I low, Q high byte).
+
+    The inverse of the decoder's staged-sample convention
+    (ops/frontend.py:_bits_q6_jnp_staged): each u16 packs one interleaved
+    u8 IQ pair with the rtl-sdr DC offset 127.5 restored (decode.go:212).
+    """
+    i = jnp.clip(jnp.round(channels[0] + 127.5), 0, 255).astype(jnp.int32)
+    q = jnp.clip(jnp.round(channels[1] + 127.5), 0, 255).astype(jnp.int32)
+    return (i | (q << 8)).astype(jnp.uint16)
+
+
+def requantize_u8(channels: jnp.ndarray) -> jnp.ndarray:
+    """(C, F, 2) channels -> (C, 2F) u8 interleaved IQ (for oracle replay)."""
+    u16 = requantize_u16(channels)
+    lo = (u16 & 0xFF).astype(jnp.uint8)
+    hi = (u16 >> 8).astype(jnp.uint8)
+    return jnp.stack([lo, hi], axis=-1).reshape(u16.shape[0], -1)
+
+
+def channel_offsets_hz(spec: ChannelizerSpec, channel_rate: int) -> np.ndarray:
+    """Per-channel center-frequency offset from the wideband capture center.
+
+    Channel c sits at ``c/N`` of the wideband rate, aliased into
+    [-fs/2, fs/2): offsets[c] = ((c + N/2) mod N - N/2) * channel_rate.
+    With the capture centered mid-band (e.g. 915 MHz), N*channel_rate spans
+    the full 902-928 MHz ISM band at chip length 72 with N >= 11.
+    """
+    n = spec.n_channels
+    c = np.arange(n)
+    return (((c + n // 2) % n) - n // 2) * channel_rate

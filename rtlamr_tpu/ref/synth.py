@@ -352,3 +352,50 @@ def bits_to_burst(bits: np.ndarray, offset: int) -> Burst:
 
 def r900_burst(digits: np.ndarray, offset: int) -> Burst:
     return Burst(chips=r900_chips(digits), offset=offset)
+
+
+def render_wideband(
+    total_channel_samples: int,
+    channel_bursts: Sequence,
+    n_channels: int,
+    chip_length: int,
+    amplitude: float = 90.0,
+    noise: float = 0.0,
+    seed: int = 0,
+) -> np.ndarray:
+    """u8 interleaved wideband IQ with OOK bursts on selected channels.
+
+    This is what a wideband front-end centered mid-band would capture: each
+    burst's chip envelope (rendered at the wideband rate, chips span
+    ``chip_length * n_channels`` wideband samples) modulates a complex
+    carrier at its channel's center offset ``c / n_channels`` of the
+    wideband rate — the physical inverse of ops/channelizer.channelize.
+
+    ``channel_bursts``: sequence of ``(channel, Burst)`` pairs; burst
+    offsets are in CHANNEL samples (as produced by bits_to_burst etc.), so
+    the same burst builders serve both narrowband and wideband captures.
+    """
+    rng = np.random.default_rng(seed)
+    total_wide = total_channel_samples * n_channels
+    z = np.zeros(total_wide, dtype=np.complex128)
+    for channel, burst in channel_bursts:
+        env = np.repeat(
+            np.asarray(burst.chips, dtype=np.float64),
+            chip_length * n_channels,
+        )
+        start = burst.offset * n_channels
+        end = min(start + env.size, total_wide)
+        if start < 0 or end <= start:
+            continue
+        t = np.arange(start, end)
+        phase = rng.uniform(0, 2 * np.pi)  # carrier phase is arbitrary
+        carrier = np.exp(1j * (2 * np.pi * channel * t / n_channels + phase))
+        z[start:end] += amplitude * env[: end - start] * carrier
+    if noise > 0:
+        z += rng.normal(0, noise, total_wide) + 1j * rng.normal(
+            0, noise, total_wide
+        )
+    iq = np.empty(total_wide * 2, dtype=np.uint8)
+    iq[0::2] = np.clip(np.round(z.real + 127.5), 0, 255).astype(np.uint8)
+    iq[1::2] = np.clip(np.round(z.imag + 127.5), 0, 255).astype(np.uint8)
+    return iq

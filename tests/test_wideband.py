@@ -1,0 +1,255 @@
+"""Wideband channelizer + multi-channel decode (frequency parallelism).
+
+VERDICT r2 done-criterion: a synthetic wideband capture with packets
+planted on distinct channels decodes to exactly the union of per-channel
+oracle runs. The oracle sees the SAME channelized streams (chunked with
+identical shapes, so the float arithmetic is bit-identical), making the
+comparison exact per (channel, block, message-string).
+"""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+
+from rtlamr_tpu.ops.channelizer import (  # noqa: E402
+    ChannelizerSpec,
+    channel_offsets_hz,
+    channelize,
+    iq_bytes_to_frames,
+    mix_channels,
+    polyphase_branches,
+    requantize_u8,
+    ri_to_frames,
+)
+
+
+def _frames(spec: ChannelizerSpec, x: np.ndarray):
+    """complex sample stream -> (2, N, F) position-major frame planes."""
+    ri = np.stack([x.real, x.imag], axis=0).astype(np.float32)
+    return ri_to_frames(spec, jnp.asarray(ri))
+
+
+def _zero_hist(spec: ChannelizerSpec):
+    return jnp.zeros(
+        (2, spec.n_channels, spec.history_frames), jnp.float32
+    )
+
+CHIP = 8
+N = 4
+
+
+def test_channelizer_tone_selectivity():
+    """A tone at channel c's center lands on channel c at unity gain and is
+    strongly rejected everywhere else."""
+    spec = ChannelizerSpec(n_channels=N)
+    f = 4096
+    t = np.arange(f * N)
+    for c in range(N):
+        x = np.exp(2j * np.pi * c * t / N) * 50.0
+        ch = np.asarray(
+            channelize(spec, _zero_hist(spec), _frames(spec, x))
+        )
+        body = ch[:, :, 64:-64]  # (2, N, F'): skip filter edge transients
+        gains = np.sqrt((body**2).sum(0).mean(axis=1)) / 50.0
+        assert gains[c] == pytest.approx(1.0, abs=0.02)
+        others = np.delete(gains, c)
+        assert others.max() < 0.02
+
+
+def test_mix_channels_block_equals_full():
+    """A shard computing only its channel rows gets exactly the full mix's
+    rows — the property that makes the channel mesh axis shardable."""
+    spec = ChannelizerSpec(n_channels=8)
+    rng = np.random.default_rng(3)
+    xs = rng.normal(size=(2, 8, 256)).astype(np.float32)
+    y = polyphase_branches(spec, _zero_hist(spec), jnp.asarray(xs))
+    full = np.asarray(mix_channels(spec, y))
+    for c0, cnt in ((0, 2), (2, 4), (6, 2)):
+        blk = np.asarray(mix_channels(spec, y, c0, cnt))
+        np.testing.assert_array_equal(blk, full[:, c0 : c0 + cnt])
+
+
+def test_channel_offsets():
+    spec = ChannelizerSpec(n_channels=4)
+    np.testing.assert_array_equal(
+        channel_offsets_hz(spec, 100), [0, 100, -200, -100]
+    )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end conformance: wideband decode == union of per-channel oracles.
+
+
+def _build_wideband(cfg, window):
+    from rtlamr_tpu.ref import synth
+
+    planted = [
+        (0, "SCM", 111001, synth.bits_to_burst(
+            synth.make_scm_bits(meter_id=111001, consumption=1), 3000)),
+        # Straddles the chunk boundary on channel 1 (overlap-save carries).
+        (1, "SCM", 222002, synth.bits_to_burst(
+            synth.make_scm_bits(meter_id=222002, consumption=2),
+            window - 700)),
+        (2, "R900", 333003, synth.r900_burst(
+            synth.make_r900_symbols(meter_id=333003), 5000)),
+        # IDM spans most of chunks 0-1 on channel 3.
+        (3, "IDM", 444004, synth.bits_to_burst(
+            synth.make_idm_bits(serial=444004), 300)),
+        (0, "SCM", 555005, synth.bits_to_burst(
+            synth.make_scm_bits(meter_id=555005, consumption=5), 20000)),
+        # Late in chunk 2 but inside the search horizon: a packet at sample
+        # o is searched at position o + halo (the reference's packet-length
+        # decode latency, decode.go:141-146), so it must satisfy
+        # o + halo + packet < 3*window.
+        (2, "SCM", 666006, synth.bits_to_burst(
+            synth.make_scm_bits(meter_id=666006, consumption=6),
+            2 * window - 2000)),
+    ]
+    total = 3 * window
+    wb = synth.render_wideband(
+        total,
+        [(c, b) for c, _, _, b in planted],
+        N,
+        cfg.chip_length,
+        amplitude=90.0,
+        noise=2.0,
+        seed=21,
+    )
+    return wb, planted
+
+
+def _oracle_channel_streams(chspec, wb, window):
+    """Channelized u8 streams, chunked EXACTLY like the decoder (same
+    shapes -> same compiled program -> bit-identical floats)."""
+    hist = _zero_hist(chspec)
+    chunk_bytes = 2 * chspec.n_channels * window
+    outs = []
+    for lo in range(0, len(wb), chunk_bytes):
+        frames = iq_bytes_to_frames(
+            chspec, jnp.asarray(wb[lo : lo + chunk_bytes])
+        )
+        ch = channelize(chspec, hist, frames)
+        outs.append(np.asarray(requantize_u8(ch)))
+        hist = frames[:, :, frames.shape[2] - chspec.history_frames :]
+    return np.concatenate(outs, axis=1)
+
+
+def _parsers():
+    from rtlamr_tpu.protocols import new_parser
+
+    return [new_parser(p, CHIP) for p in ("scm", "scm+", "idm", "r900")]
+
+
+WINDOW_BLOCKS = 24  # smallest halo-covering window at chip 8, all-protocol
+
+
+def test_wideband_decode_union_vs_oracle():
+    from rtlamr_tpu.parallel.wideband import WidebandDecoder
+    from rtlamr_tpu.ref import ReferenceDecoder
+
+    dec = WidebandDecoder(
+        _parsers(), n_channels=N, window_blocks=WINDOW_BLOCKS
+    )
+    wb, planted = _build_wideband(dec.cfg, dec.spec.window)
+
+    msgs = dec.decode_capture(wb)
+    got = [(c, b, str(m)) for c, b, m in msgs]
+
+    streams = _oracle_channel_streams(dec.chspec, wb, dec.spec.window)
+    want = []
+    for c in range(N):
+        oracle = ReferenceDecoder(_parsers(), arithmetic="int")
+        for b, m in oracle.decode_capture(streams[c]):
+            want.append((c, b, str(m)))
+
+    assert sorted(got) == sorted(want)
+
+    # Every planted packet decodes on its own channel.
+    got_ids = {(c, m.meter_id()) for c, _, m in msgs}
+    for c, _, mid, _ in planted:
+        assert (c, mid) in got_ids, (c, mid)
+
+
+def test_wideband_mesh_matches_single_chip():
+    """(channel x time) mesh decode == single-chip wideband decode, over
+    two super-batches (wideband-history and decode-halo carries cross both
+    the ppermute seams and the super-batch boundary)."""
+    from rtlamr_tpu.parallel.wideband import WidebandDecoder
+    from rtlamr_tpu.parallel.wideband_mesh import WidebandMeshDecoder
+    from rtlamr_tpu.ref import synth
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+
+    mesh_dec = WidebandMeshDecoder(
+        _parsers(),
+        n_channels=N,
+        mesh_shape=(2, 2),
+        window_blocks=WINDOW_BLOCKS,
+        scan_windows=2,
+    )
+    w = mesh_dec.spec.window
+    shard_span = 2 * w  # scan_windows per time shard
+    batch_span = 2 * shard_span  # tdev shards
+    scm_len = 96 * mesh_dec.cfg.symbol_length
+    planted = [
+        (0, synth.bits_to_burst(
+            synth.make_scm_bits(meter_id=111001, consumption=1), 3000)),
+        # Exactly on the time-shard seam of channel 1 (in-program halo).
+        (1, synth.bits_to_burst(
+            synth.make_scm_bits(meter_id=222002, consumption=2),
+            shard_span - scm_len // 2)),
+        (2, synth.r900_burst(
+            synth.make_r900_symbols(meter_id=333003), 5000)),
+        # Straddling the super-batch boundary on channel 3 (carries).
+        (3, synth.bits_to_burst(
+            synth.make_scm_bits(meter_id=444004, consumption=4),
+            batch_span - scm_len // 2)),
+        (0, synth.bits_to_burst(
+            synth.make_scm_bits(meter_id=555005, consumption=5),
+            batch_span + 4000)),
+    ]
+    wb = synth.render_wideband(
+        2 * batch_span, planted, N, mesh_dec.cfg.chip_length,
+        amplitude=90.0, noise=2.0, seed=33,
+    )
+
+    got = sorted(
+        (c, b, str(m)) for c, b, m in mesh_dec.decode_capture(wb)
+    )
+
+    single = WidebandDecoder(
+        _parsers(), n_channels=N, window_blocks=WINDOW_BLOCKS
+    )
+    want = sorted((c, b, str(m)) for c, b, m in single.decode_capture(wb))
+    assert got == want
+
+    got_ids = [
+        (c, int(s.split("ID:")[1].split()[0].strip("{},")))
+        for c, _, s in got
+        if "ID:" in s
+    ]
+    for c, mid in ((1, 222002), (3, 444004)):
+        assert (c, mid) in got_ids, (c, mid)
+
+
+def test_wideband_cross_channel_dedup():
+    """A very strong burst splatters into the adjacent slab (square-envelope
+    OOK sidelobes) and decodes there too — physically real, and exactly what
+    the reference's 12-channel-wide passband does. cross_channel_dedup
+    collapses those same-digest same-time ghosts to one copy."""
+    from rtlamr_tpu.parallel.wideband import WidebandDecoder
+
+    dec = WidebandDecoder(
+        _parsers(),
+        n_channels=N,
+        window_blocks=WINDOW_BLOCKS,
+        cross_channel_dedup=True,
+    )
+    wb, planted = _build_wideband(dec.cfg, dec.spec.window)
+    msgs = dec.decode_capture(wb)
+    ids = sorted((c, m.msg_type(), m.meter_id()) for c, _, m in msgs)
+    # Exactly the planted packets, each once, on its own channel.
+    assert ids == sorted((c, t, mid) for c, t, mid, _ in planted)
