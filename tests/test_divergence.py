@@ -46,6 +46,24 @@ def test_f32_vs_int_message_sets(seed):
     assert got == want
 
 
+@pytest.mark.parametrize("seed", range(4))
+def test_q6_census_zero_message_impact(seed):
+    """R900 6-ary near-tie census (r900/r900.go:133-143 strict-> argmax):
+    count per-symbol f32-vs-int disagreements on pinned noisy captures and
+    assert they never change the decoded R900 message stream."""
+    from tools.divergence import q6_divergence
+
+    rng = np.random.default_rng(8100 + seed)
+    chip_length = int(rng.choice([8, 32]))
+    iq = random_capture(rng, ["r900", "r900bcd"], chip_length)
+
+    diff, total = q6_divergence(iq, chip_length)
+    assert total > 0
+    want = message_stream([new_parser("r900", chip_length)], iq, "float32")
+    got = message_stream([new_parser("r900", chip_length)], iq, "int")
+    assert got == want, f"q6 near-ties {diff}/{total} changed the message set"
+
+
 @pytest.mark.parametrize("noise", [0.5, 4.0, 12.0, 25.0, 45.0])
 def test_f32_vs_int_noise_sweep(noise):
     """SNR sweep around the decode threshold: near-tie bits are most likely

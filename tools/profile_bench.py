@@ -2,14 +2,34 @@
 
 Times each stage independently: bits_q6 (jnp vs pallas), full
 decode_window_packed, D2H fetch, host parse. Run: python tools/profile_bench.py
+[window_blocks] [loop] — the second form times the realistic per-window loop
+(fresh dispatch + fresh D2H + host parse).
+
+Durable findings from the round-2 probe campaign (tools/scratch/*, measured
+on the TPU v5 lite rig) that shaped the engine:
+
+- The u8->f32 deinterleave prologue dominated the early kernel; staging the
+  raw bytes as little-endian u16 words (I in the low byte, Q high) and
+  unpacking inside the kernel removed it — hence the StagedGeometry layout.
+- Per-dispatch overhead on the remote-attached transport is ~1 ms, large
+  against a ~2 ms window program; batching 8 windows per program via
+  lax.scan and fetching ONE packed result buffer amortizes it — hence
+  decode_staged_batch.
+- D2H latency is per-transfer, not per-byte, at these sizes; packing all
+  groups' results into a single u32 buffer beats per-group fetches ~4x.
+- Host parse is noise (<3%) once the device-side CRC/RS gate filters
+  candidate rows.
 """
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
 import numpy as np
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def timeit(fn, n=6, warmup=2):
@@ -26,9 +46,9 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_compilation_cache_dir", os.path.join(_REPO, ".jax_cache"))
 
-    sys.path.insert(0, "/root/repo")
+    sys.path.insert(0, _REPO)
     from bench import build_capture
     from rtlamr_tpu.decoder import WindowDecoder
     from rtlamr_tpu.ops import frontend as fe
@@ -109,8 +129,8 @@ def loop_profile(window_blocks=1024):
     import jax
     import jax.numpy as jnp
 
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-    sys.path.insert(0, "/root/repo")
+    jax.config.update("jax_compilation_cache_dir", os.path.join(_REPO, ".jax_cache"))
+    sys.path.insert(0, _REPO)
     from bench import build_capture
     from rtlamr_tpu.decoder import WindowDecoder
     from rtlamr_tpu.ops import frontend as fe
