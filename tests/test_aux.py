@@ -111,36 +111,83 @@ def test_checkpoint_rejects_mid_window(tmp_path):
         capture_checkpoint(dec, 100)
 
 
-def test_cli_checkpoint_roundtrip(tmp_path, sample_bin):
-    """-checkpoint resumes a capture decode without duplicates."""
-    import io
-
+def _cli_decode(cap, ck, out):
     from rtlamr_tpu.cli.flags import build_flagset
     from rtlamr_tpu.cli.main import run
+
+    fs = build_flagset()
+    fs.parse(
+        [
+            "-msgtype=scm",
+            "-symbollength=78",
+            "-windowblocks=8",
+            "-ingest=python",  # the interrupt test patches FileSource.read
+            f"-fromfile={cap}",
+            f"-checkpoint={ck}",
+        ]
+    )
+    run(fs, out=out)
+    # Plain no-samplefile lines are "{Time:... SCM:{...}}"; drop the
+    # run-dependent timestamp, keep the message rendering.
+    return [
+        line.split(" ", 1)[1]
+        for line in out.getvalue().strip().splitlines()
+    ]
+
+
+def test_cli_checkpoint_straight_through(tmp_path, sample_bin):
+    """A run to EOF is complete: all 14 golden messages, no checkpoint file
+    left behind (the flushed decode needs none, cli/main.py finally path)."""
+    import io
+    import os
 
     cap = tmp_path / "cap.bin"
     sample_bin.tofile(cap)
     ck = str(tmp_path / "ck")
-
-    def go(extra):
-        fs = build_flagset()
-        fs.parse(
-            [
-                "-msgtype=scm",
-                "-symbollength=78",
-                "-windowblocks=8",
-                f"-fromfile={cap}",
-                f"-checkpoint={ck}",
-            ]
-            + extra
-        )
-        out = io.StringIO()
-        run(fs, out=out)
-        return out.getvalue().strip().splitlines()
-
-    # First run limited so it stops partway (duration tiny after first chunk).
-    full = go([])  # runs to EOF; no checkpoint saved (complete)
+    full = _cli_decode(cap, ck, io.StringIO())
     assert len(full) == 14
+    assert not os.path.exists(ck + ".meta.json")
+
+
+def test_cli_checkpoint_interrupt_resume(tmp_path, sample_bin, monkeypatch):
+    """Interrupt a capture decode mid-stream (the KeyboardInterrupt finally
+    path: pipeline drain + checkpoint save at the last window boundary,
+    cli/main.py:292-315), then resume with the same -checkpoint (skip-read +
+    ring-state fixup, cli/main.py:196-231). The concatenated output must
+    equal the straight-through decode — no duplicates, no gaps."""
+    import io
+    import os
+
+    from rtlamr_tpu.io.capture import FileSource
+
+    cap = tmp_path / "cap.bin"
+    sample_bin.tofile(cap)
+
+    want = _cli_decode(cap, str(tmp_path / "ck_full"), io.StringIO())
+    assert len(want) == 14
+
+    ck = str(tmp_path / "ck")
+    # Run A: first read returns a NON-window-aligned 100000 bytes (window is
+    # 65536 bytes at chip 78 x 8 blocks, so 34464 bytes stay pending and the
+    # checkpoint boundary lands mid-chunk); the second read is interrupted.
+    orig_read = FileSource.read
+    calls = {"n": 0}
+
+    def flaky_read(self, n):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            return orig_read(self, 100000)
+        raise KeyboardInterrupt
+
+    with monkeypatch.context() as mp:
+        mp.setattr(FileSource, "read", flaky_read)
+        got = _cli_decode(cap, ck, io.StringIO())
+    assert os.path.exists(ck + ".meta.json"), "interrupt must save a checkpoint"
+    assert 0 < len(got) < 14
+
+    # Run B: resume from the checkpoint, decode the rest to EOF.
+    got += _cli_decode(cap, ck, io.StringIO())
+    assert got == want
 
 
 def test_meters_data():
