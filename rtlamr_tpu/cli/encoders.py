@@ -15,8 +15,6 @@ import os
 import sys
 from dataclasses import dataclass
 from typing import List, Optional, TextIO
-from xml.sax.saxutils import quoteattr
-
 from ..protocols.base import Message
 
 # Go's protocol.TimeFormat "2006-01-02T15:04:05.000" (parse.go:13)
@@ -127,11 +125,43 @@ class JSONEncoder(Encoder):
         self.out.write("\n")
 
 
+#: Go xml.EscapeText entity choices (encoding/xml/xml.go escTab..escAmp):
+#: numeric-character-reference forms for quotes and whitespace, named
+#: entities for &, <, >.
+_XML_ESCAPES = {
+    '"': "&#34;",
+    "'": "&#39;",
+    "&": "&amp;",
+    "<": "&lt;",
+    ">": "&gt;",
+    "\t": "&#x9;",
+    "\n": "&#xA;",
+    "\r": "&#xD;",
+}
+
+
+def _xml_escape(s: str) -> str:
+    """Escape like Go's xml.EscapeText (both attr values and chardata use
+    the same table there)."""
+    return "".join(_XML_ESCAPES.get(c, c) for c in s)
+
+
 class XMLEncoder(Encoder):
     """XML with a newline after each message (flags.go:150,162-170).
 
-    Message fields are attributes (the reference tags every field
-    ``xml:",attr"``); list-valued fields become child elements.
+    Go's encoding/xml renders the LogMessage as
+    ``<LogMessage Time=.. Offset=.. Length=.. Type=..><Message ...>`` — the
+    embedded ``Message`` interface (parse.go:110) is an anonymous NON-struct
+    field, so it is not flattened; it marshals as a child element named
+    after the field ("Message", the interface type name). Inside it:
+
+    - structs whose fields are all tagged ``xml:",attr"`` (SCM, SCM+, R900,
+      R900BCD via embedding) put every field on the element as an attribute
+      with tag renames applied;
+    - untagged structs (IDM, NetIDM) marshal each field as a child element;
+      ``[]byte`` fields are written as raw character data and array fields
+      repeat the element once per entry (encoding/xml marshalSimple /
+      slice handling).
     """
 
     def __init__(self, out: TextIO = sys.stdout):
@@ -139,31 +169,30 @@ class XMLEncoder(Encoder):
 
     def encode(self, log_msg: LogMessage) -> None:
         attrs = [
-            f"Time={quoteattr(_rfc3339nano(log_msg.time))}",
-            f"Offset={quoteattr(str(log_msg.offset))}",
-            f"Length={quoteattr(str(log_msg.length))}",
-            f"Type={quoteattr(log_msg.type)}",
+            f'Time="{_xml_escape(_rfc3339nano(log_msg.time))}"',
+            f'Offset="{log_msg.offset}"',
+            f'Length="{log_msg.length}"',
+            f'Type="{_xml_escape(log_msg.type)}"',
         ]
-        fields = log_msg.msg.to_dict()
-        # Per-message XML attribute renames from the reference's struct tags
-        # (e.g. ChecksumVal -> Checksum, scm/scm.go:100; PacketCRC ->
-        # Checksum, scmplus/scmplus.go:102). JSON keeps the field names (the
-        # reference structs carry no effective json tags).
-        renames = getattr(log_msg.msg, "XML_RENAMES", {})
-        children = []
-        for key, value in fields.items():
-            key = renames.get(key, key)
-            if isinstance(value, (list, tuple)):
-                inner = "".join(f"<Value>{v}</Value>" for v in value)
-                children.append(f"<{key}>{inner}</{key}>")
-            else:
-                attrs.append(f"{key}={quoteattr(str(value))}")
-        body = "".join(children)
-        name = "LogMessage"
-        if body:
-            self.out.write(f"<{name} {' '.join(attrs)}>{body}</{name}>\n")
+        msg = log_msg.msg
+        items = msg.xml_items()
+        if msg.XML_STYLE == "attrs":
+            msg_attrs = " ".join(
+                f'{k}="{_xml_escape(str(v))}"' for k, v in items
+            )
+            body = f"<Message {msg_attrs}></Message>"
         else:
-            self.out.write(f"<{name} {' '.join(attrs)}></{name}>\n")
+            parts = []
+            for key, value in items:
+                if isinstance(value, bytes):
+                    text = _xml_escape(value.decode("latin-1"))
+                    parts.append(f"<{key}>{text}</{key}>")
+                elif isinstance(value, (list, tuple)):
+                    parts.extend(f"<{key}>{v}</{key}>" for v in value)
+                else:
+                    parts.append(f"<{key}>{_xml_escape(str(value))}</{key}>")
+            body = f"<Message>{''.join(parts)}</Message>"
+        self.out.write(f"<LogMessage {' '.join(attrs)}>{body}</LogMessage>\n")
 
 
 def make_encoder(

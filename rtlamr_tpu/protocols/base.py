@@ -148,6 +148,18 @@ def build_decoder_config(parsers: Sequence["Parser"]) -> DecoderConfig:
 class Message:
     """Decoded-message interface (protocol/parse.go:78-84)."""
 
+    #: Per-field XML attribute renames from Go struct tags (e.g.
+    #: ``ChecksumVal`` -> ``Checksum``, scm/scm.go:100).
+    XML_RENAMES: dict = {}
+
+    #: How Go's encoding/xml renders this struct's fields inside the
+    #: ``<Message>`` child element: ``"attrs"`` when every field carries an
+    #: ``xml:",attr"`` tag (scm/scm.go:94-101, scmplus/scmplus.go:95-102,
+    #: r900/r900.go:250-258); ``"elements"`` when the struct is untagged so
+    #: each field marshals as a child element (idm/idm.go:101-119,
+    #: netidm/netidm.go:114-131).
+    XML_STYLE: str = "attrs"
+
     def msg_type(self) -> str:
         raise NotImplementedError
 
@@ -165,8 +177,20 @@ class Message:
         raise NotImplementedError
 
     def to_dict(self) -> dict:
-        """Ordered field mapping used by the JSON/XML encoders."""
+        """Ordered field mapping with Go encoding/json value semantics
+        (notably ``[]byte`` fields render as base64 strings)."""
         raise NotImplementedError
+
+    def xml_items(self) -> list:
+        """Ordered (name, value) pairs for the XML encoder, struct-tag
+        renames applied. Values may be int/str (simple), ``bytes`` (Go
+        writes []byte as raw character data, marshalSimple in
+        encoding/xml), or tuple (Go repeats the element per entry).
+        Default: the JSON mapping, which matches whenever the struct has
+        no []byte fields."""
+        return [
+            (self.XML_RENAMES.get(k, k), v) for k, v in self.to_dict().items()
+        ]
 
 
 class Digest(NamedTuple):

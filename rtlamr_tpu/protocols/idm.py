@@ -56,6 +56,10 @@ class IDM(Message):
     SerialNumberCRC: int
     PacketCRC: int
 
+    #: The Go struct is untagged (idm/idm.go:101-119), so encoding/xml
+    #: marshals every field as a child element of <Message>.
+    XML_STYLE = "elements"
+
     def msg_type(self) -> str:
         return "IDM"
 
@@ -118,6 +122,10 @@ class IDM(Message):
         return r
 
     def to_dict(self) -> dict:
+        import base64
+
+        # TamperCounters/PowerOutageFlags are []byte in the Go struct
+        # (idm/idm.go:111,113); encoding/json marshals []byte as base64.
         return {
             "Preamble": self.Preamble,
             "PacketTypeID": self.PacketTypeID,
@@ -128,9 +136,9 @@ class IDM(Message):
             "ERTSerialNumber": self.ERTSerialNumber,
             "ConsumptionIntervalCount": self.ConsumptionIntervalCount,
             "ModuleProgrammingState": self.ModuleProgrammingState,
-            "TamperCounters": list(self.TamperCounters),
+            "TamperCounters": base64.b64encode(self.TamperCounters).decode(),
             "AsynchronousCounters": self.AsynchronousCounters,
-            "PowerOutageFlags": list(self.PowerOutageFlags),
+            "PowerOutageFlags": base64.b64encode(self.PowerOutageFlags).decode(),
             "LastConsumptionCount": self.LastConsumptionCount,
             "DifferentialConsumptionIntervals": list(
                 self.DifferentialConsumptionIntervals
@@ -139,6 +147,16 @@ class IDM(Message):
             "SerialNumberCRC": self.SerialNumberCRC,
             "PacketCRC": self.PacketCRC,
         }
+
+    def xml_items(self) -> list:
+        # encoding/xml writes []byte fields as raw character data
+        # (marshalSimple), not base64 — hand the raw bytes to the encoder.
+        items = super().xml_items()
+        return [
+            (k, self.TamperCounters if k == "TamperCounters"
+             else self.PowerOutageFlags if k == "PowerOutageFlags" else v)
+            for k, v in items
+        ]
 
 
 def parse_idm(bits: np.ndarray, data: np.ndarray) -> IDM:

@@ -51,6 +51,10 @@ class NetIDM(Message):
     SerialNumberCRC: int
     PacketCRC: int
 
+    #: The Go struct is untagged (netidm/netidm.go:114-131), so
+    #: encoding/xml marshals every field as a child element of <Message>.
+    XML_STYLE = "elements"
+
     def msg_type(self) -> str:
         return "NetIDM"
 
