@@ -16,6 +16,13 @@ per chip. The BASELINE.json north star is >100x.
 
 Prints exactly one JSON line:
   {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...}
+
+Usage: python bench.py [window_blocks] [seconds] [backend] [mode]
+  mode "staged" (default): HBM-resident capture, scan-batched engine — the
+    per-chip decode-engine metric described above.
+  mode "ingest": host-bytes -> messages over the live feed() path (staging,
+    H2D, per-window program, fetch, parse) — the end-to-end number the
+    reference's real-time SLO is about. See BENCH.md.
 """
 
 from __future__ import annotations
@@ -52,10 +59,56 @@ def build_capture(cfg, n_windows: int, window_samples: int, halo: int) -> np.nda
     return synth.render_iq(total, bursts, cfg.chip_length, noise=3.0, seed=2)
 
 
+def run_ingest(dec, iq: np.ndarray, seconds: float) -> tuple:
+    """Host-bytes -> messages throughput over the LIVE path (feed()).
+
+    Measures what the reference's implicit real-time SLO is about
+    (main.go:189-196): raw interleaved IQ bytes in host memory, through
+    per-window staging (u16 view + halo carry), host->device transfer,
+    the window program, result fetch and host parse. Bytes are fed in the
+    CLI's chunk size (cli/main.py chunk_bytes) cycling the capture.
+    """
+    chunk_bytes = max(dec.cfg.block_size2, 1 << 18)
+    wb = dec.window_bytes
+    usable = (iq.size // wb) * wb  # whole windows only, so cycles align
+    capture = iq[:usable]
+
+    def one_pass():
+        n = 0
+        pos = 0
+        while pos < usable:
+            chunk = capture[pos : pos + chunk_bytes]
+            n += len(dec.feed(chunk))
+            pos += chunk_bytes
+        return n
+
+    # Warmup: compile the per-window program and absorb first-transfer cost.
+    dec.reset()
+    one_pass()
+    dec.drain()
+
+    dec.reset()
+    decoded = 0
+    fed = 0
+    start = time.perf_counter()
+    while True:
+        decoded += one_pass()
+        fed += usable
+        elapsed = time.perf_counter() - start
+        if elapsed >= seconds:
+            break
+    decoded += len(dec.drain())
+    elapsed = time.perf_counter() - start
+    return fed // 2, elapsed, decoded
+
+
 def main() -> None:
     window_blocks = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
     seconds = float(sys.argv[2]) if len(sys.argv) > 2 else 12.0
     backend = sys.argv[3] if len(sys.argv) > 3 else "pallas"
+    mode = sys.argv[4] if len(sys.argv) > 4 else "staged"
+    if mode not in ("staged", "ingest"):
+        raise SystemExit(f"mode must be staged|ingest, got {mode!r}")
 
     import jax
     import jax.numpy as jnp
@@ -76,6 +129,31 @@ def main() -> None:
     w = spec.window
     n_windows = 8  # scan-batch size: one program + one fetch per 8 windows
     iq = build_capture(dec.cfg, n_windows, w, spec.halo)
+
+    if mode == "ingest":
+        print(
+            f"ingest mode: feeding {iq.size / 1e6:.1f} MB host bytes "
+            f"through the live path (backend={backend})...",
+            file=sys.stderr,
+        )
+        samples, elapsed, decoded = run_ingest(dec, iq, seconds)
+        rate = samples / elapsed
+        print(
+            f"{samples / 1e6:.1f} MS in {elapsed:.2f}s, {decoded} msgs, "
+            f"{rate / 1e6:.1f} MS/s (host bytes -> messages)",
+            file=sys.stderr,
+        )
+        print(
+            json.dumps(
+                {
+                    "metric": "ingest_decode_samples_per_second_per_chip",
+                    "value": round(rate, 1),
+                    "unit": "samples/s",
+                    "vs_baseline": round(rate / REALTIME_SAMPLE_RATE, 2),
+                }
+            )
+        )
+        return
 
     # Stage the capture once into HBM in the u16 StagedGeometry layout:
     # zero-copy u16 view of the raw interleaved bytes, placed at pad_shift,

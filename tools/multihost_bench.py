@@ -1,0 +1,208 @@
+"""Multi-host RELATIVE throughput harness — seam/collective overhead on a
+2-process CPU mesh (VERDICT r2 item 9; BASELINE.md's >95%-scaling claim).
+
+No pod is available, so absolute multi-host scaling cannot be measured;
+what CAN be measured on one machine is the per-process cost of everything
+multi-host adds around the decode program: jax.distributed dispatch of the
+sharded scan, the boundary-halo allgather, the host-side carry broadcast,
+and the two-boundary-block digest-exchange allgather
+(parallel/distributed.py decode_superbatch_local/_seam_dedup).
+
+Method: run the SAME per-process work (batches x scan_windows x 1 window
+per device, 1 CPU device per process) at 1 process and at 2 processes, each
+process pinned to its own physical core (taskset) so the two configurations
+get identical CPU budgets per process. Efficiency := mean per-process rate
+at 2 procs / per-process rate at 1 proc. The delta is the seam overhead
+plus localhost-gRPC coordination — an upper bound on the real-pod DCN cost
+at this (tiny, CPU-sized) window size, NOT a pod measurement.
+
+Caveats recorded in the output JSON:
+- CPU decode rates are meaningless in absolute terms (the committed per-chip
+  numbers come from bench.py on the TPU); only the ratio is reported.
+- localhost gRPC replaces DCN; real inter-host links change the constant.
+- window sizes here are CPU-small; the TPU configuration amortizes the same
+  per-batch collectives over ~500x more samples, so the measured overhead
+  fraction is a conservative upper bound (see the traffic-ratio bound in
+  bench_mesh.py's docstring).
+
+Usage (parent; writes MULTIHOST_BENCH.json to the repo root):
+  python tools/multihost_bench.py [batches=20] [window_blocks=64]
+                                  [scan_windows=2]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import socket
+import subprocess
+import sys
+import time
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def worker() -> None:
+    (coord, num_procs, pid, out_path, batches, window_blocks, scan) = (
+        sys.argv[2],
+        int(sys.argv[3]),
+        int(sys.argv[4]),
+        sys.argv[5],
+        int(sys.argv[6]),
+        int(sys.argv[7]),
+        int(sys.argv[8]),
+    )
+    sys.path.insert(0, _REPO)
+    from rtlamr_tpu.parallel.distributed import MultiHostDecoder, initialize
+
+    initialize(coord, num_procs, pid, cpu_devices_per_process=1)
+
+    import numpy as np
+
+    from rtlamr_tpu.protocols import new_parser
+    from rtlamr_tpu.ref import synth
+
+    chip = 8
+    dec = MultiHostDecoder(
+        [new_parser("scm", chip)],
+        window_blocks=window_blocks,
+        scan_windows=scan,
+    )
+    w = dec.spec.window
+    lwb = dec.local_window_bytes
+
+    # Per-process capture segment: noise with one packet per batch so the
+    # parse/dedup path does real (but constant) work. Deterministic per
+    # process so both configurations decode identical local streams.
+    local_samples = lwb // 2
+    bits = synth.make_scm_bits(meter_id=900000 + pid, consumption=7)
+    segs = []
+    for j in range(batches):
+        seg = synth.render_iq(
+            local_samples,
+            [synth.bits_to_burst(bits, dec.cfg.block_size)],
+            chip,
+            noise=2.0,
+            seed=1000 * (pid + 1) + j,
+        )
+        segs.append(seg)
+
+    # Warmup: compile the sharded scan + one full collective round.
+    dec.decode_superbatch_local(segs[0])
+
+    dec.reset()
+    decoded = 0
+    start = time.perf_counter()
+    for j in range(batches):
+        decoded += len(dec.decode_superbatch_local(segs[j]))
+    elapsed = time.perf_counter() - start
+
+    samples = batches * local_samples
+    with open(out_path, "w") as f:
+        json.dump(
+            {
+                "process": pid,
+                "samples": samples,
+                "elapsed": elapsed,
+                "rate": samples / elapsed,
+                "decoded": decoded,
+            },
+            f,
+        )
+    print(
+        f"proc {pid}/{num_procs}: {samples / 1e6:.2f} MS in {elapsed:.2f}s "
+        f"({samples / elapsed / 1e6:.2f} MS/s), {decoded} msgs",
+        file=sys.stderr,
+    )
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def run_config(num_procs: int, batches: int, window_blocks: int, scan: int,
+               tmpdir: str) -> list:
+    coordinator = f"127.0.0.1:{_free_port()}"
+    env = {
+        k: v
+        for k, v in os.environ.items()
+        if k not in ("JAX_PLATFORMS", "XLA_FLAGS")
+    }
+    env["PYTHONPATH"] = _REPO + (
+        ":" + env["PYTHONPATH"] if env.get("PYTHONPATH") else ""
+    )
+    have_taskset = shutil.which("taskset") is not None
+    procs = []
+    outs = []
+    for p in range(num_procs):
+        out = os.path.join(tmpdir, f"bench_{num_procs}_{p}.json")
+        outs.append(out)
+        argv = [
+            sys.executable, os.path.abspath(__file__), "--worker",
+            coordinator, str(num_procs), str(p), out,
+            str(batches), str(window_blocks), str(scan),
+        ]
+        if have_taskset:
+            argv = ["taskset", "-c", str(p)] + argv
+        procs.append(subprocess.Popen(argv, env=env))
+    for pr in procs:
+        rc = pr.wait(timeout=1200)
+        if rc != 0:
+            raise RuntimeError(f"worker exited {rc}")
+    return [json.load(open(o)) for o in outs]
+
+
+def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--worker":
+        worker()
+        return
+    batches = int(sys.argv[1]) if len(sys.argv) > 1 else 20
+    window_blocks = int(sys.argv[2]) if len(sys.argv) > 2 else 64
+    scan = int(sys.argv[3]) if len(sys.argv) > 3 else 2
+
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as tmpdir:
+        single = run_config(1, batches, window_blocks, scan, tmpdir)
+        double = run_config(2, batches, window_blocks, scan, tmpdir)
+
+    r1 = single[0]["rate"]
+    r2 = [d["rate"] for d in double]
+    eff = (sum(r2) / len(r2)) / r1
+    # Config-independent form: the seam cost is a fixed per-super-batch
+    # latency (collective rounds), so report it in ms/batch too.
+    t1 = single[0]["elapsed"] / batches
+    t2 = max(d["elapsed"] for d in double) / batches
+    result = {
+        "metric": "multihost_relative_scaling_efficiency",
+        "value": round(eff, 4),
+        "unit": "per_process_rate_ratio_2proc_vs_1proc",
+        "seam_overhead_pct": round((1 - eff) * 100, 2),
+        "seam_overhead_ms_per_superbatch": round((t2 - t1) * 1e3, 3),
+        "batch_ms_1proc": round(t1 * 1e3, 3),
+        "batch_ms_2proc": round(t2 * 1e3, 3),
+        "rate_1proc_samples_per_s": round(r1, 1),
+        "rate_2proc_per_process_samples_per_s": [round(r, 1) for r in r2],
+        "batches": batches,
+        "window_blocks": window_blocks,
+        "scan_windows": scan,
+        "devices_per_process": 1,
+        "core_pinned": shutil.which("taskset") is not None,
+        "caveats": [
+            "CPU mesh on one machine; absolute rates meaningless (see bench.py for per-chip numbers)",
+            "localhost gRPC stands in for DCN",
+            "CPU-sized windows: collective cost per sample is ~500x the TPU configuration's, so the overhead fraction is a conservative upper bound",
+        ],
+    }
+    with open(os.path.join(_REPO, "MULTIHOST_BENCH.json"), "w") as f:
+        json.dump(result, f, indent=1)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
