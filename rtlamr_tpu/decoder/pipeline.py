@@ -84,7 +84,8 @@ class WindowDecoder:
         self._window_index = 0
         self._deduper = BlockDeduper()
         self._last_block = -1
-        self._pending = np.zeros(0, np.uint8)
+        self._plist: List[np.ndarray] = []
+        self._psize = 0
         #: one-deep dispatch-ahead pipeline: (device buffer, meta) of the
         #: window whose results have not been fetched yet. Overlaps
         #: host->device transfer and compute of window i+1 with the
@@ -95,18 +96,40 @@ class WindowDecoder:
     def window_bytes(self) -> int:
         return 2 * self.spec.window
 
+    @property
+    def _pending(self) -> np.ndarray:
+        """Unconsumed IQ bytes. Stored as a chunk list so the live path's
+        many small feed() calls don't re-copy the whole pending buffer per
+        chunk (O(window) memcpy per window instead of O(window^2/chunk));
+        materialized on access for checkpointing and the CLI."""
+        if not self._plist:
+            return np.zeros(0, np.uint8)
+        if len(self._plist) > 1:
+            self._plist = [np.concatenate(self._plist)]
+        return self._plist[0]
+
+    @_pending.setter
+    def _pending(self, value: np.ndarray) -> None:
+        value = np.asarray(value, np.uint8)
+        self._plist = [value] if value.size else []
+        self._psize = int(value.size)
+
     # -- capture / streaming APIs ------------------------------------------
 
     def feed(self, iq_bytes: np.ndarray) -> List[Tuple[int, Message]]:
         """Feed arbitrary-length IQ bytes; decode any completed windows."""
-        self._pending = np.concatenate(
-            [self._pending, np.asarray(iq_bytes, np.uint8)]
-        )
+        chunk = np.asarray(iq_bytes, np.uint8)
+        if chunk.size:
+            self._plist.append(chunk)
+            self._psize += int(chunk.size)
         out: List[Tuple[int, Message]] = []
         wb = self.window_bytes
-        while self._pending.size >= wb:
-            chunk, self._pending = self._pending[:wb], self._pending[wb:]
-            out.extend(self._process_window(chunk))
+        if self._psize >= wb:
+            buf = self._pending  # one concatenate for all buffered chunks
+            n_win = buf.size // wb
+            for i in range(n_win):
+                out.extend(self._process_window(buf[i * wb : (i + 1) * wb]))
+            self._pending = buf[n_win * wb :]
         return out
 
     def flush(self) -> List[Tuple[int, Message]]:

@@ -179,7 +179,8 @@ class WidebandDecoder:
         )
         self._first = True
         self._window_index = 0
-        self._pending = np.zeros(0, np.uint8)
+        self._plist: List[np.ndarray] = []
+        self._psize = 0
         self._inflight = None
         self._xchan = CrossChannelDeduper()
 
@@ -205,16 +206,37 @@ class WidebandDecoder:
 
     # -- streaming ----------------------------------------------------------
 
+    @property
+    def _pending(self) -> np.ndarray:
+        """Unconsumed wideband bytes (chunk list; one concatenate per
+        super-step instead of one per feed call — same scheme as
+        WindowDecoder._pending)."""
+        if not self._plist:
+            return np.zeros(0, np.uint8)
+        if len(self._plist) > 1:
+            self._plist = [np.concatenate(self._plist)]
+        return self._plist[0]
+
+    @_pending.setter
+    def _pending(self, value: np.ndarray) -> None:
+        value = np.asarray(value, np.uint8)
+        self._plist = [value] if value.size else []
+        self._psize = int(value.size)
+
     def feed(self, wb_bytes: np.ndarray) -> List[Tuple[int, int, Message]]:
         """Feed wideband IQ bytes; returns (channel, block, message)."""
-        self._pending = np.concatenate(
-            [self._pending, np.asarray(wb_bytes, np.uint8)]
-        )
+        chunk = np.asarray(wb_bytes, np.uint8)
+        if chunk.size:
+            self._plist.append(chunk)
+            self._psize += int(chunk.size)
         out: List[Tuple[int, int, Message]] = []
         wb = self.window_bytes
-        while self._pending.size >= wb:
-            chunk, self._pending = self._pending[:wb], self._pending[wb:]
-            out.extend(self._process_chunk(chunk))
+        if self._psize >= wb:
+            buf = self._pending
+            n_win = buf.size // wb
+            for i in range(n_win):
+                out.extend(self._process_chunk(buf[i * wb : (i + 1) * wb]))
+            self._pending = buf[n_win * wb :]
         return out
 
     def flush(self) -> List[Tuple[int, int, Message]]:
