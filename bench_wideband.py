@@ -59,7 +59,10 @@ def build_wideband_capture(cfg, n_channels, n_chunks, window):
 
 def main() -> None:
     n_channels = int(sys.argv[1]) if len(sys.argv) > 1 else 12
-    window_blocks = int(sys.argv[2]) if len(sys.argv) > 2 else 256
+    # 1024-block per-channel windows: per-window fixed costs (hit compaction,
+    # packing) amortize 4x better than the old 256 default — measured 508 vs
+    # 212 MS/s at 12 channels. Staged state is 12 x ~17 MB, well within HBM.
+    window_blocks = int(sys.argv[2]) if len(sys.argv) > 2 else 1024
     seconds = float(sys.argv[3]) if len(sys.argv) > 3 else 12.0
 
     import jax

@@ -172,6 +172,36 @@ def test_wideband_decode_union_vs_oracle():
         assert (c, mid) in got_ids, (c, mid)
 
 
+def test_wideband_feed_ragged_chunks():
+    """Streaming feed() with ragged chunk sizes == one-shot decode_capture
+    (exercises the chunk-list pending buffer across many small calls)."""
+    import numpy as np
+
+    from rtlamr_tpu.parallel.wideband import WidebandDecoder
+
+    dec = WidebandDecoder(
+        _parsers(), n_channels=N, window_blocks=WINDOW_BLOCKS
+    )
+    wb, _planted = _build_wideband(dec.cfg, dec.spec.window)
+    want = [(c, b, str(m)) for c, b, m in dec.decode_capture(wb)]
+
+    dec2 = WidebandDecoder(
+        _parsers(), n_channels=N, window_blocks=WINDOW_BLOCKS
+    )
+    dec2.reset()
+    got = []
+    rng = np.random.default_rng(11)
+    pos = 0
+    while pos < wb.size:
+        n = int(rng.integers(1, 3 * dec2.cfg.block_size))
+        got.extend(
+            (c, b, str(m)) for c, b, m in dec2.feed(wb[pos : pos + n])
+        )
+        pos += n
+    got.extend((c, b, str(m)) for c, b, m in dec2.flush())
+    assert got == want
+
+
 def test_wideband_mesh_matches_single_chip():
     """(channel x time) mesh decode == single-chip wideband decode, over
     two super-batches (wideband-history and decode-halo carries cross both
