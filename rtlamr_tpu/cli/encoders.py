@@ -140,10 +140,101 @@ _XML_ESCAPES = {
 }
 
 
+def _in_xml_char_range(r: int) -> bool:
+    """Go xml.isInCharacterRange: the XML 1.0 Char production."""
+    return (
+        r in (0x09, 0x0A, 0x0D)
+        or 0x20 <= r <= 0xD7FF
+        or 0xE000 <= r <= 0xFFFD
+        or 0x10000 <= r <= 0x10FFFF
+    )
+
+
+def _decode_rune(b: bytes, i: int):
+    """Mirror Go utf8.DecodeRune over b[i:]: (rune, width).
+
+    Any invalid or truncated sequence yields (0xFFFD, 1) — Go consumes
+    exactly one byte per error, unlike Python's 'replace' codec which
+    consumes maximal subparts.
+    """
+    b0 = b[i]
+    if b0 < 0x80:
+        return b0, 1
+    if b0 < 0xC2 or b0 > 0xF4:
+        return 0xFFFD, 1
+    if b0 < 0xE0:
+        n, lo, hi = 2, 0x80, 0xBF
+    elif b0 < 0xF0:
+        n = 3
+        if b0 == 0xE0:
+            lo, hi = 0xA0, 0xBF
+        elif b0 == 0xED:
+            lo, hi = 0x80, 0x9F
+        else:
+            lo, hi = 0x80, 0xBF
+    else:
+        n = 4
+        if b0 == 0xF0:
+            lo, hi = 0x90, 0xBF
+        elif b0 == 0xF4:
+            lo, hi = 0x80, 0x8F
+        else:
+            lo, hi = 0x80, 0xBF
+    if i + n > len(b) or not (lo <= b[i + 1] <= hi):
+        return 0xFFFD, 1
+    for k in range(2, n):
+        if not (0x80 <= b[i + k] <= 0xBF):
+            return 0xFFFD, 1
+    if n == 2:
+        r = ((b0 & 0x1F) << 6) | (b[i + 1] & 0x3F)
+    elif n == 3:
+        r = ((b0 & 0x0F) << 12) | ((b[i + 1] & 0x3F) << 6) | (b[i + 2] & 0x3F)
+    else:
+        r = (
+            ((b0 & 0x07) << 18)
+            | ((b[i + 1] & 0x3F) << 12)
+            | ((b[i + 2] & 0x3F) << 6)
+            | (b[i + 3] & 0x3F)
+        )
+    return r, n
+
+
 def _xml_escape(s: str) -> str:
-    """Escape like Go's xml.EscapeText (both attr values and chardata use
-    the same table there)."""
-    return "".join(_XML_ESCAPES.get(c, c) for c in s)
+    """Escape like Go's xml.EscapeText: the entity table, plus U+FFFD for
+    any rune outside the XML character range (Go gets strings as valid
+    UTF-8, so no byte-level decoding is needed here)."""
+    out = []
+    for c in s:
+        esc = _XML_ESCAPES.get(c)
+        if esc is not None:
+            out.append(esc)
+        elif _in_xml_char_range(ord(c)):
+            out.append(c)
+        else:
+            out.append("�")
+    return "".join(out)
+
+
+def _xml_escape_bytes(b: bytes) -> str:
+    """Go xml.EscapeText over raw []byte chardata (IDM TamperCounters /
+    PowerOutageFlags): UTF-8 rune iteration with each invalid byte
+    rendered as U+FFFD and valid runes filtered by the XML char range."""
+    out = []
+    i = 0
+    while i < len(b):
+        r, w = _decode_rune(b, i)
+        i += w
+        c = chr(r)
+        esc = _XML_ESCAPES.get(c)
+        if esc is not None:
+            out.append(esc)
+        elif w == 1 and r == 0xFFFD:
+            out.append("�")  # genuine decode error
+        elif _in_xml_char_range(r):
+            out.append(c)
+        else:
+            out.append("�")
+    return "".join(out)
 
 
 class XMLEncoder(Encoder):
@@ -185,8 +276,7 @@ class XMLEncoder(Encoder):
             parts = []
             for key, value in items:
                 if isinstance(value, bytes):
-                    text = _xml_escape(value.decode("latin-1"))
-                    parts.append(f"<{key}>{text}</{key}>")
+                    parts.append(f"<{key}>{_xml_escape_bytes(value)}</{key}>")
                 elif isinstance(value, (list, tuple)):
                     parts.extend(f"<{key}>{v}</{key}>" for v in value)
                 else:

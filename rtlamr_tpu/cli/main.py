@@ -165,7 +165,6 @@ class Receiver:
         if fs["biastee"].set_explicitly:
             client.set_bias_tee(fs.value("biastee"))
 
-        _log(self.cfg.describe())
         _log(f"rtl_tcp GainCount: {info.gain_count}")
         return RtlTcpSource(client)
 
@@ -200,6 +199,10 @@ def run(fs: FlagSet, out=sys.stdout) -> int:
 
     _enable_compile_cache()
     receiver = Receiver(fs)
+    # Startup config dump, unconditional — the reference logs the decoder
+    # config at receiver construction (main.go:124, decode.go:73-90), for
+    # both live and -fromfile runs.
+    _log(receiver.cfg.describe())
     dumper = SampleDumper(fs.value("samplefile"))
     encoder = make_encoder(fs.value("format"), out, fs.value("samplefile"))
 

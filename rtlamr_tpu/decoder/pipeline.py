@@ -117,7 +117,12 @@ class WindowDecoder:
     # -- capture / streaming APIs ------------------------------------------
 
     def feed(self, iq_bytes: np.ndarray) -> List[Tuple[int, Message]]:
-        """Feed arbitrary-length IQ bytes; decode any completed windows."""
+        """Feed arbitrary-length IQ bytes; decode any completed windows.
+
+        The chunk is retained by reference until the window containing it is
+        decoded (``np.asarray`` does not copy) — callers must not mutate a
+        passed buffer after the call. Pass a copy when reusing read buffers.
+        """
         chunk = np.asarray(iq_bytes, np.uint8)
         if chunk.size:
             self._plist.append(chunk)

@@ -224,7 +224,12 @@ class WidebandDecoder:
         self._psize = int(value.size)
 
     def feed(self, wb_bytes: np.ndarray) -> List[Tuple[int, int, Message]]:
-        """Feed wideband IQ bytes; returns (channel, block, message)."""
+        """Feed wideband IQ bytes; returns (channel, block, message).
+
+        As with :meth:`WindowDecoder.feed`, the chunk is retained by
+        reference until decoded — callers must not mutate a passed buffer
+        after the call. Pass a copy when reusing read buffers.
+        """
         chunk = np.asarray(wb_bytes, np.uint8)
         if chunk.size:
             self._plist.append(chunk)

@@ -121,6 +121,72 @@ def test_encoder_matches_golden(proto, fmt):
     assert out.getvalue() == want
 
 
+def test_xml_escape_bytes_go_parity():
+    """Go xml.EscapeText semantics over raw []byte chardata.
+
+    Ground truth is the stdlib pair encoding/xml.EscapeText (entity table +
+    isInCharacterRange + U+FFFD substitution) and unicode/utf8.DecodeRune
+    (one byte consumed per invalid sequence). Real IDM TamperCounters /
+    PowerOutageFlags are arbitrary bytes, so these paths all occur live.
+    """
+    from rtlamr_tpu.cli.encoders import _xml_escape_bytes
+
+    R = "�"
+    cases = [
+        (b"ABC123", "ABC123"),  # printable ASCII unchanged
+        (b"a&b<c>d\"e'f", "a&amp;b&lt;c&gt;d&#34;e&#39;f"),  # entity table
+        (b"\t\n\r", "&#x9;&#xA;&#xD;"),  # whitespace NCR forms
+        (b"\x00\x08\x0b\x0c\x0e\x1f", R * 6),  # C0 controls out of range
+        (b"\x7f", "\x7f"),  # DEL is inside the XML Char range
+        (b"\x80\xbf\xc0\xc1\xf5\xff", R * 6),  # never-valid UTF-8 bytes
+        (b"\xc3\xa9", "\xe9"),  # valid 2-byte rune passes
+        (b"\xe2\x82\xac", "€"),  # valid 3-byte rune passes
+        (b"\xf0\x9f\x98\x80", "\U0001f600"),  # valid 4-byte rune passes
+        (b"\xe0\xa0", R * 2),  # truncated: Go consumes 1 byte per error
+        (b"\xed\xa0\x80", R * 3),  # surrogate encoding: each byte an error
+        (b"\xef\xbf\xbd", R),  # genuinely-encoded U+FFFD passes as itself
+        (b"\xef\xb7\x90", "﷐"),  # U+FDD0: inside 0x20..0xD7FF, passes
+    ]
+    for raw, want in cases:
+        assert _xml_escape_bytes(raw) == want, raw
+
+    # U+FFFE/U+FFFF are above 0xFFFD and outside the Char range.
+    assert _xml_escape_bytes("￿".encode()) == R
+
+
+def test_xml_encoder_raw_tamper_bytes():
+    """End-to-end: IDM XML with control/invalid tamper bytes is valid XML."""
+    import xml.etree.ElementTree as ET
+
+    msg = IDM(
+        Preamble=0x555516A3,
+        PacketTypeID=0x1C,
+        PacketLength=0x5C,
+        HammingCode=0xC6,
+        ApplicationVersion=0x04,
+        ERTType=0x07,
+        ERTSerialNumber=123456789,
+        ConsumptionIntervalCount=42,
+        ModuleProgrammingState=0x9F,
+        TamperCounters=b"\x00\x01\xffA&",
+        AsynchronousCounters=0x0203,
+        PowerOutageFlags=b"\x80<ok>\x1f",
+        LastConsumptionCount=9876543,
+        DifferentialConsumptionIntervals=tuple(range(1, 48)),
+        TransmitTimeOffset=1234,
+        SerialNumberCRC=0xCAFE,
+        PacketCRC=0xF00D,
+    )
+    out = io.StringIO()
+    enc = make_encoder("xml", out)
+    enc.encode(LogMessage(time=TIME, offset=OFFSET, length=LENGTH, msg=msg))
+    rendered = out.getvalue()
+    root = ET.fromstring(rendered)  # must parse as XML
+    R = "�"
+    assert root.find("Message/TamperCounters").text == R * 2 + R + "A&"
+    assert root.find("Message/PowerOutageFlags").text == R + "<ok>" + R
+
+
 def test_plain_no_samplefile_drops_offset():
     """StringNoOffset form (parse.go:119-121) when no -samplefile is set."""
     out = io.StringIO()
