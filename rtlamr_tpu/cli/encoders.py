@@ -44,42 +44,62 @@ def _rfc3339nano(t: datetime.datetime) -> str:
 
 @dataclass
 class LogMessage:
-    """A message with time and sample-dump position (parse.go:105-111)."""
+    """A message with time and sample-dump position (parse.go:105-111).
+
+    ``channel`` is the TPU-native wideband extension: the channelizer bank
+    index the message decoded on (``-channels N``). It is ``None`` in
+    single-channel mode, where every rendering below is byte-identical to
+    the reference's output surface; when set, each encoder adds one
+    Channel field in its natural position.
+    """
 
     time: datetime.datetime
     offset: int
     length: int
     msg: Message
+    channel: Optional[int] = None
 
     @property
     def type(self) -> str:
         return self.msg.msg_type()
 
+    def _chan_plain(self) -> str:
+        return "" if self.channel is None else f"Channel:{self.channel} "
+
     def __str__(self) -> str:  # parse.go:113-117
         return (
             f"{{Time:{_plain_time(self.time)} Offset:{self.offset} "
-            f"Length:{self.length} {self.type}:{self.msg}}}"
+            f"Length:{self.length} {self._chan_plain()}{self.type}:{self.msg}}}"
         )
 
     def string_no_offset(self) -> str:  # parse.go:119-121
-        return f"{{Time:{_plain_time(self.time)} {self.type}:{self.msg}}}"
+        return (
+            f"{{Time:{_plain_time(self.time)} "
+            f"{self._chan_plain()}{self.type}:{self.msg}}}"
+        )
 
     def record(self) -> List[str]:  # parse.go:123-129
-        return [
+        rec = [
             _rfc3339nano(self.time),
             str(self.offset),
             str(self.length),
-            *self.msg.record(),
         ]
+        if self.channel is not None:
+            rec.append(str(self.channel))
+        rec.extend(self.msg.record())
+        return rec
 
     def to_dict(self) -> dict:
-        return {
+        d = {
             "Time": _rfc3339nano(self.time),
             "Offset": self.offset,
             "Length": self.length,
-            "Type": self.type,
-            "Message": self.msg.to_dict(),
         }
+        if self.channel is not None:
+            d["Channel"] = self.channel
+        d["Type"] = self.type
+        d["Message"] = self.msg.to_dict()
+        return d
 
 
 class Encoder:
@@ -263,8 +283,10 @@ class XMLEncoder(Encoder):
             f'Time="{_xml_escape(_rfc3339nano(log_msg.time))}"',
             f'Offset="{log_msg.offset}"',
             f'Length="{log_msg.length}"',
-            f'Type="{_xml_escape(log_msg.type)}"',
         ]
+        if log_msg.channel is not None:
+            attrs.append(f'Channel="{log_msg.channel}"')
+        attrs.append(f'Type="{_xml_escape(log_msg.type)}"')
         msg = log_msg.msg
         items = msg.xml_items()
         if msg.XML_STYLE == "attrs":

@@ -261,6 +261,21 @@ def build_flagset() -> FlagSet:
         kind="bool",
     )
     fs.add(
+        "channels",
+        1,
+        "wideband channelizer bank size: treat the input as one wideband "
+        "stream at channels*samplerate and decode every channel (1 = the "
+        "reference's single-channel receiver)",
+        kind="int",
+    )
+    fs.add(
+        "crosschanneldedup",
+        False,
+        "drop adjacent-channel ghost copies of a message (wideband mode): "
+        "same digest seen on another channel in the same or adjacent block",
+        kind="bool",
+    )
+    fs.add(
         "backend",
         "jnp",
         "device compute backend: jnp (XLA) or pallas (fused kernel)",

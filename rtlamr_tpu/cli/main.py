@@ -74,22 +74,61 @@ class Receiver:
         if fs.value("unique"):
             self.fc.append(UniqueFilter())
 
-        decoder_cls = WindowDecoder
-        kwargs = {}
-        if fs.value("mesh"):
-            from ..parallel.mesh import MeshDecoder
+        channels = fs.value("channels")
+        if channels < 1:
+            _log(f"invalid -channels value {channels} (want >= 1)")
+            raise SystemExit(1)
+        self.wideband = channels > 1
+        if self.wideband:
+            # Wideband mode: one stream at channels*samplerate, channelized
+            # on device and decoded per channel (parallel/wideband.py).
+            if fs.value("mesh"):
+                _log("-mesh is ignored with -channels > 1 (the wideband "
+                     "program already fills the chip; use the library's "
+                     "WidebandMeshDecoder for multi-chip wideband)")
+            from ..parallel.wideband import WidebandDecoder
 
-            decoder_cls = MeshDecoder
-        self.decoder = decoder_cls(
-            self.parsers,
-            window_blocks=fs.value("windowblocks"),
-            max_hits=fs.value("maxhits"),
-            filter_fn=self.fc.match,
-            backend=fs.value("backend"),
-            **kwargs,
-        )
+            self.decoder = WidebandDecoder(
+                self.parsers,
+                n_channels=channels,
+                window_blocks=fs.value("windowblocks"),
+                max_hits=fs.value("maxhits"),
+                filter_fn=self.fc.match,
+                backend=fs.value("backend"),
+                cross_channel_dedup=fs.value("crosschanneldedup"),
+            )
+        else:
+            decoder_cls = WindowDecoder
+            if fs.value("mesh"):
+                from ..parallel.mesh import MeshDecoder
+
+                decoder_cls = MeshDecoder
+            self.decoder = decoder_cls(
+                self.parsers,
+                window_blocks=fs.value("windowblocks"),
+                max_hits=fs.value("maxhits"),
+                filter_fn=self.fc.match,
+                backend=fs.value("backend"),
+            )
         self.cfg = self.decoder.cfg
         self.client: Optional[RtlTcpClient] = None
+
+    def wide_center_freq(self) -> int:
+        """The wideband capture's RF center (explicit -centerfreq wins)."""
+        if self.fs["centerfreq"].set_explicitly:
+            return self.fs.value("centerfreq")
+        return self.cfg.center_freq
+
+    def log_channel_plan(self) -> None:
+        """Startup per-channel center-frequency dump (wideband mode)."""
+        freqs = self.decoder.channel_center_freqs(self.wide_center_freq())
+        rate = self.decoder.wideband_sample_rate
+        _log(
+            f"wideband: {self.decoder.n_channels} channels at "
+            f"{rate} S/s total"
+        )
+        for c, f in enumerate(freqs):
+            _log(f"  channel {c}: {f / 1e6:.6f} MHz")
 
     def _use_native(self) -> bool:
         """Resolve the -ingest flag (native C++ transport vs pure Python)."""
@@ -135,10 +174,14 @@ class Receiver:
             if fs["centerfreq"].set_explicitly
             else cfg.center_freq
         )
+        native_rate = (
+            self.decoder.wideband_sample_rate if self.wideband
+            else cfg.sample_rate
+        )
         sample_rate = (
             fs.value("samplerate")
             if fs["samplerate"].set_explicitly
-            else cfg.sample_rate
+            else native_rate
         )
         client.set_center_freq(center_freq)
         client.set_sample_rate(sample_rate)
@@ -203,6 +246,8 @@ def run(fs: FlagSet, out=sys.stdout) -> int:
     # config at receiver construction (main.go:124, decode.go:73-90), for
     # both live and -fromfile runs.
     _log(receiver.cfg.describe())
+    if receiver.wideband:
+        receiver.log_channel_plan()
     dumper = SampleDumper(fs.value("samplefile"))
     encoder = make_encoder(fs.value("format"), out, fs.value("samplefile"))
 
@@ -216,11 +261,17 @@ def run(fs: FlagSet, out=sys.stdout) -> int:
 
     source = receiver.open_source()
     dec = receiver.decoder
+    wideband = receiver.wideband
+    nch = dec.n_channels if wideband else 1
     live = not fs.value("fromfile")
-    watchdog = RateWatchdog(dec.cfg.sample_rate, warn=_log) if live else None
+    ingest_rate = dec.wideband_sample_rate if wideband else dec.cfg.sample_rate
+    watchdog = RateWatchdog(ingest_rate, warn=_log) if live else None
 
     ckpt_path = fs.value("checkpoint")
     consumed = 0
+    if ckpt_path and wideband:
+        _log("-checkpoint does not support -channels > 1 yet")
+        raise SystemExit(1)
     if ckpt_path:
         from ..decoder.checkpoint import Checkpoint, restore_checkpoint
         import os as _os
@@ -239,15 +290,19 @@ def run(fs: FlagSet, out=sys.stdout) -> int:
                     skipped += part.size
             _log(f"resumed from checkpoint at byte {consumed}")
 
-    chunk_bytes = max(dec.cfg.block_size2, 1 << 18)
+    # In wideband mode the ring (and -samplefile dumps) hold WIDEBAND
+    # bytes: channel-block b of every channel comes from the same wideband
+    # byte range, so one ring block = nch * block_size2 bytes.
+    block_bytes = nch * dec.cfg.block_size2
+    chunk_bytes = max(block_bytes, 1 << 18)
     # Rolling sample buffer simulation for Offset/Length and -samplefile
     # dumps (main.go:225-230,279-284). Blocks are retained up to the
     # dispatch-ahead decode latency (two windows) plus the ring capacity.
     ring_cap_blocks = -(-dec.cfg.buffer_length * 2 // dec.cfg.block_size2)
     ring = SampleRing(
         dumper,
-        dec.cfg.block_size2,
-        dec.cfg.buffer_length * 2,
+        block_bytes,
+        nch * dec.cfg.buffer_length * 2,
         max_lag_blocks=2 * (dec.spec.window // dec.cfg.block_size)
         + ring_cap_blocks
         + 4,
@@ -258,6 +313,19 @@ def run(fs: FlagSet, out=sys.stdout) -> int:
         resumed_blocks = consumed // dec.cfg.block_size2
         ring._next_fed = resumed_blocks
         ring._sim_block = resumed_blocks - 1
+    def _by_block(msgs):
+        """Normalize decode results to block-major (block, channel, msg).
+
+        WindowDecoder yields (block, msg); WidebandDecoder yields
+        (channel, block, msg) channel-major — re-sort so the ring walk
+        advances monotonically."""
+        if wideband:
+            return [
+                (b, c, m) for c, b, m in sorted(msgs, key=lambda t: (t[1], t[0]))
+            ]
+        return [(b, None, m) for b, m in msgs]
+
+    dropped_seen = 0
     stop = False
     eof = False
     try:
@@ -276,12 +344,14 @@ def run(fs: FlagSet, out=sys.stdout) -> int:
                 if watchdog is not None:
                     watchdog.add_bytes(chunk.size)
                     dropped = source.dropped_bytes()
-                    if dropped > dec.metrics.extra.get("bytes_dropped", 0):
+                    if dropped > dropped_seen:
                         _log(
                             "ingest ring overflow: "
                             f"{dropped} bytes dropped so far"
                         )
-                    dec.metrics.extra["bytes_dropped"] = dropped
+                    dropped_seen = dropped
+                    if not wideband:
+                        dec.metrics.extra["bytes_dropped"] = dropped
                 if chunk.size == 0:
                     eof = True
                     msgs = dec.flush()
@@ -292,14 +362,17 @@ def run(fs: FlagSet, out=sys.stdout) -> int:
                 # Messages arrive ordered by block; replay the reference's
                 # per-block ring walk (main.go:225-230) so Offset/Length and
                 # the post-block buffer dump match main.go:242-284 exactly.
-                for block, group in itertools.groupby(msgs, key=lambda t: t[0]):
+                for block, group in itertools.groupby(
+                    _by_block(msgs), key=lambda t: t[0]
+                ):
                     ring.advance_to(block)
-                    for _b, msg in group:
+                    for _b, chan, msg in group:
                         log_msg = LogMessage(
                             time=datetime.datetime.now(),
                             offset=dumper.offset(),
                             length=ring.length,
                             msg=msg,
+                            channel=chan,
                         )
                         encoder.encode(log_msg)
                         if single:
@@ -343,7 +416,10 @@ def run(fs: FlagSet, out=sys.stdout) -> int:
             capture_checkpoint(dec, boundary).save(ckpt_path)
             _log(f"checkpoint saved at byte {boundary}")
         if fs.value("metrics"):
-            _log("metrics:", dec.metrics.snapshot())
+            snap = (
+                dec.metrics_snapshot() if wideband else dec.metrics.snapshot()
+            )
+            _log("metrics:", snap)
         source.close()
         dumper.close()
     return 0

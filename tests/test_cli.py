@@ -211,6 +211,134 @@ class FakeRtlTcp(threading.Thread):
             self.sock.close()
 
 
+# ---------------------------------------------------------------------------
+# Wideband CLI (-channels N)
+
+
+def _wideband_capture(n_channels=4, chip=8, window_blocks=24):
+    """A 4-channel synthetic capture with one packet per channel (recipe
+    from tests/test_wideband.py::_build_wideband, compacted)."""
+    from rtlamr_tpu.parallel.wideband import WidebandDecoder
+    from rtlamr_tpu.protocols import new_parser
+
+    parsers = [new_parser(p, chip) for p in ("scm", "scm+", "idm", "r900")]
+    dec = WidebandDecoder(
+        parsers, n_channels=n_channels, window_blocks=window_blocks
+    )
+    window = dec.spec.window
+    planted = [
+        (0, synth.bits_to_burst(
+            synth.make_scm_bits(meter_id=111001, consumption=1), 3000)),
+        (1, synth.bits_to_burst(
+            synth.make_scm_bits(meter_id=222002, consumption=2),
+            window - 700)),
+        (2, synth.r900_burst(
+            synth.make_r900_symbols(meter_id=333003), 5000)),
+        (3, synth.bits_to_burst(
+            synth.make_idm_bits(serial=444004), 300)),
+    ]
+    wb = synth.render_wideband(
+        3 * window, planted, n_channels, chip,
+        amplitude=90.0, noise=2.0, seed=21,
+    )
+    return dec, wb
+
+
+def test_cli_wideband_fromfile(tmp_path, capsys):
+    """-channels=4 decodes a wideband capture through cli.main with output
+    byte-exact vs the WidebandDecoder library path (VERDICT r3 item 2)."""
+    dec, wb = _wideband_capture()
+    want = sorted(
+        (c, json.dumps(m.to_dict(), separators=(",", ":")))
+        for c, _b, m in dec.decode_capture(wb)
+    )
+    assert want, "capture must decode to something for the test to bite"
+
+    cap = tmp_path / "wideband.bin"
+    wb.tofile(cap)
+    rc, out = run_cli(
+        [
+            "-msgtype=all",
+            "-symbollength=8",
+            "-channels=4",
+            "-windowblocks=24",
+            "-format=json",
+            f"-fromfile={cap}",
+        ]
+    )
+    assert rc == 0
+    lines = out.strip().splitlines()
+    got = []
+    for ln in lines:
+        rec = json.loads(ln)
+        # Channel sits between Length and Type in the envelope.
+        assert list(rec) == ["Time", "Offset", "Length", "Channel", "Type",
+                             "Message"]
+        got.append(
+            (rec["Channel"],
+             json.dumps(rec["Message"], separators=(",", ":")))
+        )
+    assert sorted(got) == want
+
+    err = capsys.readouterr().err
+    assert "wideband: 4 channels" in err
+    assert "channel 3:" in err  # per-channel center-frequency startup log
+
+
+def test_cli_wideband_plain_and_dedup(tmp_path):
+    """Plain format carries a Channel: tag; -crosschanneldedup parses."""
+    dec, wb = _wideband_capture()
+    cap = tmp_path / "wideband.bin"
+    wb.tofile(cap)
+    rc, out = run_cli(
+        [
+            "-msgtype=all",
+            "-symbollength=8",
+            "-channels=4",
+            "-windowblocks=24",
+            "-crosschanneldedup=true",
+            f"-fromfile={cap}",
+        ]
+    )
+    assert rc == 0
+    lines = out.strip().splitlines()
+    assert lines and all("Channel:" in ln for ln in lines)
+
+
+def test_usage_lists_wideband_flags():
+    fs = build_flagset()
+    buf = io.StringIO()
+    fs.usage(out=buf)
+    rtlamr_part = buf.getvalue().split("rtltcp specific:")[0]
+    assert "-channels=1:" in rtlamr_part
+    assert "-crosschanneldedup=False:" in rtlamr_part
+
+
+def test_cli_wideband_live_tunes_wideband_rate():
+    """Live wideband: the rtl_tcp tuner is set to channels*samplerate."""
+    dec, wb = _wideband_capture()
+    server = FakeRtlTcp(wb)
+    server.start()
+    rc, out = run_cli(
+        [
+            "-msgtype=all",
+            "-symbollength=8",
+            "-channels=4",
+            "-windowblocks=24",
+            "-format=json",
+            f"-server=127.0.0.1:{server.port}",
+            "-single=true",
+            "-duration=12s",
+        ]
+    )
+    lines = out.strip().splitlines()
+    assert len(lines) >= 1
+    assert json.loads(lines[0])["Channel"] in range(4)
+    server.join(timeout=5)
+    cmds = dict((c, a) for c, a in server.commands)
+    assert cmds.get(0x02) == 4 * 32768 * 8  # wideband sample rate
+
+
 def test_live_rtltcp_roundtrip():
     """Full live path: connect, tune, stream, decode, -duration exit."""
     bits = synth.make_scm_bits(meter_id=31415926, consumption=123)
