@@ -269,15 +269,12 @@ def run(fs: FlagSet, out=sys.stdout) -> int:
 
     ckpt_path = fs.value("checkpoint")
     consumed = 0
-    if ckpt_path and wideband:
-        _log("-checkpoint does not support -channels > 1 yet")
-        raise SystemExit(1)
     if ckpt_path:
-        from ..decoder.checkpoint import Checkpoint, restore_checkpoint
+        from ..decoder.checkpoint import load_checkpoint, restore_checkpoint
         import os as _os
 
         if _os.path.exists(ckpt_path + ".meta.json"):
-            ckpt = Checkpoint.load(ckpt_path)
+            ckpt = load_checkpoint(ckpt_path)
             restore_checkpoint(dec, ckpt)
             consumed = ckpt.byte_offset
             if not live:
@@ -310,7 +307,7 @@ def run(fs: FlagSet, out=sys.stdout) -> int:
     if consumed:
         # Resumed mid-capture: the ring walk restarts at the resume block
         # (Offset/Length of re-decoded history are not replayed).
-        resumed_blocks = consumed // dec.cfg.block_size2
+        resumed_blocks = consumed // block_bytes
         ring._next_fed = resumed_blocks
         ring._sim_block = resumed_blocks - 1
     def _by_block(msgs):
@@ -398,16 +395,17 @@ def run(fs: FlagSet, out=sys.stdout) -> int:
             # checkpoint at the last window boundary (pending bytes are
             # re-read on resume).
             for block, group in itertools.groupby(
-                dec.drain(), key=lambda t: t[0]
+                _by_block(dec.drain()), key=lambda t: t[0]
             ):
                 ring.advance_to(block)
-                for _b, msg in group:
+                for _b, chan, msg in group:
                     encoder.encode(
                         LogMessage(
                             time=datetime.datetime.now(),
                             offset=dumper.offset(),
                             length=ring.length,
                             msg=msg,
+                            channel=chan,
                         )
                     )
                 ring.dump()
