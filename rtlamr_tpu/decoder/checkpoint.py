@@ -183,13 +183,16 @@ def capture_checkpoint(dec, byte_offset: int):
             ],
         )
     _require_boundary(dec)
+    carry = np.asarray(dec._carry, np.uint16)
+    if carry.ndim == 2:
+        # MeshDecoder's sharded (n, halo) carry: row 0 is the stream tail.
+        carry = carry[0]
     return Checkpoint(
         byte_offset=byte_offset,
         window_index=dec._window_index,
         last_block=dec._last_block,
         first=dec._first,
-        # MeshDecoder's carry may be a lazy device slice; materialize.
-        carry=np.asarray(dec._carry, np.uint16).copy(),
+        carry=carry.copy(),
         prev_digests=[tuple(d) for d in dec._deduper.prev],
     )
 
@@ -232,9 +235,20 @@ def restore_checkpoint(dec, ckpt) -> None:
             Digest(*d): (b, c) for d, b, c in ckpt.xchan_seen
         }
         return
-    expect = dec._carry.shape
+    expect = np.asarray(dec._carry).shape  # post-reset host zeros
     carry = np.asarray(ckpt.carry, np.uint16)
-    if carry.shape != expect:
+    if len(expect) == 2:
+        # MeshDecoder: saved carry is the (halo,) stream tail -> row 0.
+        if carry.shape != expect[1:]:
+            raise ValueError(
+                f"checkpoint geometry mismatch: carry has {carry.shape}, "
+                f"mesh decoder wants {expect[1:]} per shard row "
+                "(different decoder type or window?)"
+            )
+        full = np.zeros(expect, np.uint16)
+        full[0] = carry
+        carry = full
+    elif carry.shape != expect:
         raise ValueError(
             f"checkpoint geometry mismatch: carry has {carry.shape}, "
             f"decoder wants {expect} (different decoder type or window?)"

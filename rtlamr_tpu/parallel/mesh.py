@@ -54,14 +54,26 @@ from ..protocols.base import Message, Parser
 from ..decoder.pipeline import WindowDecoder
 
 
-def _shard_body(spec: FrontendSpec, n_devices: int, sb_local, carry, firsts_local):
+def _shard_body(spec: FrontendSpec, n_devices: int, sb_local, carry_local,
+                firsts_local):
     """Per-shard body under shard_map.
 
     sb_local:     (1, K, S) u16 — this shard's K staged windows. Window 0's
                   halo region [pad_shift, halo_staged) is zero-staged and
                   filled here from the left neighbor.
-    carry:        (halo,) u16 replicated — tail of the previous super-batch.
+    carry_local:  (1, halo) u16 — this shard's row of the (n, halo) sharded
+                  carry; only shard 0's row is meaningful (the previous
+                  super-batch's global stream tail). Keeping the carry
+                  sharded means NO broadcast between batches: row 0 is
+                  produced on shard 0 (see left_recv) and consumed there.
     firsts_local: (1, K) bool — stream-global first-window flags.
+
+    Returns (packed (1, K, P), left_recv (1, halo)): left_recv is the tail
+    this shard RECEIVED from its left neighbor over the ppermute — row p is
+    the true halo of shard p's first window (used by the host escalation
+    re-decode without any extra exchange), and row 0 (shard n-1's stream
+    tail, delivered by the (n-1)->0 wrap hop) is the NEXT super-batch's
+    carry, already resident on shard 0.
     """
     k = sb_local.shape[1]
     halo = spec.halo
@@ -70,12 +82,12 @@ def _shard_body(spec: FrontendSpec, n_devices: int, sb_local, carry, firsts_loca
 
     # Tail of this shard's last window: the halo its right neighbor needs.
     tail = jax.lax.dynamic_slice(sb_local[0, k - 1], (hs + w - halo,), (halo,))
-    left = jax.lax.ppermute(
+    left_recv = jax.lax.ppermute(
         tail, "x", [(i, (i + 1) % n_devices) for i in range(n_devices)]
     )
     my = jax.lax.axis_index("x")
     # Shard 0's left neighbor is the previous super-batch's carry.
-    left = jnp.where(my == 0, carry, left)
+    left = jnp.where(my == 0, carry_local[0], left_recv)
     first_win = jax.lax.dynamic_update_slice(
         sb_local[0, 0], left, (spec.pad_shift,)
     )
@@ -86,7 +98,7 @@ def _shard_body(spec: FrontendSpec, n_devices: int, sb_local, carry, firsts_loca
         return None, pack_results(decode_core_staged(spec, st, fi))
 
     _, packed = jax.lax.scan(step, None, (windows, firsts_local[0]))
-    return packed[None]  # (1, K, P)
+    return packed[None], left_recv[None]  # (1, K, P), (1, halo)
 
 
 @functools.partial(jax.jit, static_argnums=(0, 1, 2))
@@ -96,8 +108,8 @@ def _decode_superbatch(spec: FrontendSpec, mesh: Mesh, n_devices: int,
     return jax.shard_map(
         body,
         mesh=mesh,
-        in_specs=(P("x", None, None), P(), P("x", None)),
-        out_specs=P("x", None, None),
+        in_specs=(P("x", None, None), P("x", None), P("x", None)),
+        out_specs=(P("x", None, None), P("x", None)),
         # pallas_call out_shapes carry no varying-mesh-axes annotation;
         # skip the static vma checker (shardings are still enforced).
         check_vma=False,
@@ -167,14 +179,18 @@ class MeshDecoder(WindowDecoder):
             )
         self._sharding = NamedSharding(self.mesh, P("x", None, None))
         self._firsts_sharding = NamedSharding(self.mesh, P("x", None))
+        self._carry_sharding = NamedSharding(self.mesh, P("x", None))
         self._replicated = NamedSharding(self.mesh, P())
         self.reset()
 
     def reset(self) -> None:
         super().reset()
-        # Carry between super-batches: the last halo samples of the stream,
-        # in the staged u16 encoding (one interleaved IQ byte pair each).
-        self._carry = np.zeros(self.spec.halo, np.uint16)
+        # Carry between super-batches: the last halo samples of the stream
+        # in the staged u16 encoding, held SHARDED (n, halo) — only row 0
+        # is meaningful; after the first batch it is the program's
+        # left_recv output, produced and consumed on shard 0 with no
+        # broadcast or host round-trip between batches.
+        self._carry = np.zeros((self.n_devices, self.spec.halo), np.uint16)
 
     _firsts_cache: Optional[Dict[bool, object]] = None
 
@@ -227,14 +243,15 @@ class MeshDecoder(WindowDecoder):
         """
         spec = self.spec
         n, k = self.n_devices, self.scan_windows
-        # Uniform replicated sharding whether the carry is host bytes or a
-        # lazy device slice — avoids a per-sharding recompile of the program.
-        packed = _decode_superbatch(
+        carry_in = self._carry
+        if isinstance(carry_in, np.ndarray):
+            carry_in = jax.device_put(carry_in, self._carry_sharding)
+        packed, carry_next = _decode_superbatch(
             spec,
             self.mesh,
             n,
             sb_dev,
-            jax.device_put(self._carry, self._replicated),
+            carry_in,
             self._firsts_dev(self._first),
         )
         first0 = self._first
@@ -264,16 +281,10 @@ class MeshDecoder(WindowDecoder):
                 )
         self._window_index += n * k
         self._first = False
-        tail = (
-            slice(spec.halo_staged + spec.window - spec.halo,
-                  spec.halo_staged + spec.window)
-        )
-        if _host_sb is not None:
-            self._carry = _host_sb[-1, -1, tail].copy()
-        else:
-            # Device-resident batch: keep the carry on device (a lazy slice
-            # of an input array — no host round-trip in the hot loop).
-            self._carry = sb_dev[-1, -1, tail]
+        # Next carry: the program's left_recv output, already sharded with
+        # row 0 (the global stream tail) resident on shard 0 — no host
+        # round-trip and no broadcast between batches.
+        self._carry = carry_next
 
         out: List[Tuple[int, Message]] = []
         if self._inflight is not None:
@@ -315,11 +326,16 @@ def _staged_window(
     if k == 0:
         halo = spec.halo
         hs, w = spec.halo_staged, spec.window
-        left = (
-            np.asarray(carry_host)  # may be a device array (device-resident path)
-            if s == 0
-            else np.asarray(sb[s - 1, sb.shape[1] - 1, hs + w - halo : hs + w])
-        )
+        if s == 0:
+            # carry_host may be a device array (device-resident path) and,
+            # since the sharded-carry scheme, (n, halo) with row 0 live.
+            left = np.asarray(carry_host)
+            if left.ndim == 2:
+                left = left[0]
+        else:
+            left = np.asarray(
+                sb[s - 1, sb.shape[1] - 1, hs + w - halo : hs + w]
+            )
         win[spec.pad_shift : hs] = left
     return win
 

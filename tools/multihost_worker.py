@@ -11,15 +11,30 @@ message-string) records to <out_json>. The parent test asserts the union
 over processes equals the single-process oracle exactly once each.
 
 Scenarios:
-  basic — one super-batch; packets inside each process's run plus one
-          straddling the process seam (DCN halo exactly-once recovery).
-  hard  — two super-batches with max_hits=1: a capacity-overflow storm in
-          the window AT the process seam (the escalation re-decode must see
-          the true cross-process halo, parallel/distributed.py
-          _local_staged_window), and a preamble plateau straddling the
-          super-batch boundary (process 0's first block of batch 1 must
-          dedup against the last process's last block of batch 0 — the
-          cross-super-batch seam carry).
+  basic    — one super-batch; packets inside each process's run plus one
+             straddling the process seam (DCN halo exactly-once recovery).
+             Works at any process count (the seam is placed on the middle
+             process boundary) — the test suite runs it at 2 AND 4
+             processes.
+  hard     — two super-batches with max_hits=1: a capacity-overflow storm
+             in the window AT the process seam (the escalation re-decode
+             must see the true cross-process halo,
+             parallel/distributed.py _local_staged_window), and a preamble
+             plateau straddling the super-batch boundary (process 0's
+             first block of batch 1 must dedup against the last process's
+             last block of batch 0 — the cross-super-batch seam carry).
+  overflow — drives the SEAM_DIGEST_CAP second allgather round: r900 AND
+             r900bcd are registered (one burst => two digests per block),
+             and the cap is lowered to 1, so the boundary-block digest
+             exchange overflows and every process agrees to the exact-size
+             re-exchange (parallel/distributed.py _seam_dedup). The cap is
+             a capacity knob, not a semantic one — 2 digests over cap 1
+             exercises the identical code path as 65 over the default 64.
+             A plateau packet straddling the process seam additionally
+             requires the re-exchanged digests to dedup correctly.
+  allproto — all six protocols (scm, scm+, idm, netidm, r900, r900bcd)
+             decoded in one multi-host run, packets spread across both
+             processes' runs plus one on the seam.
 """
 
 from __future__ import annotations
@@ -29,13 +44,14 @@ import sys
 
 
 def build_capture(cfg, w, n_windows, chip):
-    """Deterministic global capture: packets inside process 0's run, exactly
-    on the process seam, and inside process 1's run, in noise."""
+    """Deterministic global capture: packets inside the first process's
+    run, exactly on the middle process seam, and inside the last process's
+    run, in noise."""
     from rtlamr_tpu.ref import synth
 
     sl = cfg.symbol_length
     scm_len = 96 * sl
-    seam = (n_windows // 2) * w  # boundary between the two processes
+    seam = (n_windows // 2) * w  # middle process boundary
     bursts = [
         synth.bits_to_burst(
             synth.make_scm_bits(meter_id=111111, consumption=1),
@@ -47,10 +63,78 @@ def build_capture(cfg, w, n_windows, chip):
         ),
         synth.bits_to_burst(
             synth.make_scm_bits(meter_id=333333, consumption=3),
-            seam + 2 * cfg.block_size,
+            # Inside the LAST process's run at 2 or 4 processes, and far
+            # enough from the capture end to stay in the search horizon.
+            (n_windows * 3 // 4) * w + 2 * cfg.block_size,
         ),
     ]
     return synth.render_iq(n_windows * w, bursts, chip, noise=2.0, seed=77)
+
+
+def build_capture_overflow(cfg, w, n_windows, chip, halo):
+    """Capture for the 'overflow' scenario: r900 bursts (each decoding as
+    BOTH R900 and R900BCD => 2 digests per boundary block, over the
+    lowered SEAM_DIGEST_CAP=1), one with its preamble plateau straddling
+    the process seam so the re-exchanged digests must dedup it."""
+    from rtlamr_tpu.ref import synth
+
+    seam = (n_windows // 2) * w
+    bursts = [
+        synth.r900_burst(
+            synth.make_r900_symbols(meter_id=111111), cfg.block_size // 2
+        ),
+        # First search position of the right process's first window: the
+        # preamble plateau spans the seam, so both processes decode it in
+        # adjacent blocks and the seam digest dedup must drop one copy —
+        # while both boundary blocks hold 2 digests (R900 + R900BCD) > cap.
+        synth.r900_burst(
+            synth.make_r900_symbols(meter_id=222222), seam - halo
+        ),
+        synth.r900_burst(
+            synth.make_r900_symbols(meter_id=333333),
+            seam + 3 * cfg.block_size,
+        ),
+    ]
+    return synth.render_iq(n_windows * w, bursts, chip, noise=2.0, seed=79)
+
+
+def build_capture_allproto(cfg, w, n_windows, chip):
+    """All-six-protocol capture: one packet of each type spread over both
+    processes' runs, plus an SCM straddling the process seam. Offsets keep
+    bursts disjoint (IDM/NetIDM are 736 symbols long)."""
+    from rtlamr_tpu.ref import synth
+
+    sl = cfg.symbol_length
+    scm_len = 96 * sl
+    scmplus_len = 128 * sl  # 16-byte packet (scmplus.go:46-60)
+    long_len = 736 * sl  # idm/netidm burst length
+    seam = (n_windows // 2) * w
+    o0 = cfg.block_size // 2
+    o_scmplus = o0 + scm_len + 4 * sl
+    o_idm = o_scmplus + scmplus_len + 4 * sl
+    bursts = [
+        synth.bits_to_burst(
+            synth.make_scm_bits(meter_id=111111, consumption=1), o0
+        ),
+        synth.bits_to_burst(
+            synth.make_scmplus_bits(endpoint_id=210002, consumption=2),
+            o_scmplus,
+        ),
+        synth.bits_to_burst(synth.make_idm_bits(serial=310003), o_idm),
+        synth.bits_to_burst(
+            synth.make_scm_bits(meter_id=410004, consumption=4),
+            seam - scm_len // 2,  # process seam
+        ),
+        synth.bits_to_burst(
+            synth.make_netidm_bits(serial=510005),
+            seam + 2 * cfg.block_size,
+        ),
+        synth.r900_burst(
+            synth.make_r900_symbols(meter_id=610006),
+            seam + 2 * cfg.block_size + long_len + 4 * sl,
+        ),
+    ]
+    return synth.render_iq(n_windows * w, bursts, chip, noise=2.0, seed=80)
 
 
 def build_capture_hard(cfg, w, batch_windows, n_batches, chip, halo):
@@ -125,9 +209,18 @@ def main() -> None:
     from rtlamr_tpu.protocols import new_parser
 
     chip = 8
-    parsers = [new_parser("scm", chip)]
+    names = {
+        "overflow": ("r900", "r900bcd"),
+        "allproto": ("scm", "scm+", "idm", "netidm", "r900", "r900bcd"),
+    }.get(scenario, ("scm",))
+    parsers = [new_parser(n, chip) for n in names]
     max_hits = 1 if scenario == "hard" else 256
     n_batches = 2 if scenario == "hard" else 1
+    if scenario == "overflow":
+        # Lower the digest-exchange capacity so 2 digests/boundary block
+        # (R900 + R900BCD from one burst) overflow it — drives the loud
+        # second allgather round without planting 65 physical packets.
+        MultiHostDecoder.SEAM_DIGEST_CAP = 1
     dec = MultiHostDecoder(
         parsers, window_blocks=None, scan_windows=scan_windows,
         max_hits=max_hits,
@@ -138,6 +231,12 @@ def main() -> None:
         iq = build_capture_hard(
             dec.cfg, w, batch_windows, n_batches, chip, dec.spec.halo
         )
+    elif scenario == "overflow":
+        iq = build_capture_overflow(
+            dec.cfg, w, batch_windows, chip, dec.spec.halo
+        )
+    elif scenario == "allproto":
+        iq = build_capture_allproto(dec.cfg, w, batch_windows, chip)
     else:
         iq = build_capture(dec.cfg, w, batch_windows, chip)
 
@@ -147,6 +246,7 @@ def main() -> None:
         lo = base + proc_id * dec.local_window_bytes
         hi = lo + dec.local_window_bytes
         msgs.extend(dec.decode_superbatch_local(iq[lo:hi]))
+    msgs.extend(dec.drain())  # dispatch-ahead: last batch completes here
 
     records = [
         {
