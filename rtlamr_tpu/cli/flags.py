@@ -281,6 +281,15 @@ def build_flagset() -> FlagSet:
         "device compute backend: jnp (XLA) or pallas (fused kernel)",
     )
     fs.add(
+        "latency",
+        False,
+        "low-latency live preset: small decode window (unless -windowblocks "
+        "is set explicitly), block-granular reads, and synchronous window "
+        "completion; trades batch throughput for sub-50ms feed->emit "
+        "latency (see BENCH.md 'Live latency')",
+        kind="bool",
+    )
+    fs.add(
         "profiledir",
         "",
         "write a jax profiler trace of the decode loop to this directory",

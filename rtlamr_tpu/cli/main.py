@@ -54,6 +54,12 @@ class Receiver:
     def __init__(self, fs: FlagSet):
         self.fs = fs
         chip_length = fs.value("symbollength")
+        self.latency = fs.value("latency")
+        if self.latency and not fs["windowblocks"].set_explicitly:
+            # Latency preset: a 4-block window keeps the device program's
+            # span ~7 ms of airtime at the default rate (vs ~110 ms at the
+            # throughput default of 64); -windowblocks still wins when set.
+            fs["windowblocks"].value = 4
 
         names = expand_msgtypes(fs.value("msgtype"))
         self.parsers = []
@@ -291,7 +297,12 @@ def run(fs: FlagSet, out=sys.stdout) -> int:
     # bytes: channel-block b of every channel comes from the same wideband
     # byte range, so one ring block = nch * block_size2 bytes.
     block_bytes = nch * dec.cfg.block_size2
-    chunk_bytes = max(block_bytes, 1 << 18)
+    # Latency preset reads one reference block per iteration (the Go
+    # receiver's own granularity, main.go:156-205) instead of the large
+    # throughput-oriented chunks, so data never waits in the read buffer.
+    chunk_bytes = (
+        block_bytes if receiver.latency else max(block_bytes, 1 << 18)
+    )
     # Rolling sample buffer simulation for Offset/Length and -samplefile
     # dumps (main.go:225-230,279-284). Blocks are retained up to the
     # dispatch-ahead decode latency (two windows) plus the ring capacity.
@@ -356,6 +367,11 @@ def run(fs: FlagSet, out=sys.stdout) -> int:
                     ring.feed(chunk)
                     msgs = dec.feed(chunk)
                     consumed += chunk.size
+                    if receiver.latency:
+                        # Synchronous completion: skip the one-window
+                        # dispatch-ahead so results emit as soon as the
+                        # window computes (throughput preset keeps it).
+                        msgs = list(msgs) + list(dec.drain())
                 # Messages arrive ordered by block; replay the reference's
                 # per-block ring walk (main.go:225-230) so Offset/Length and
                 # the post-block buffer dump match main.go:242-284 exactly.

@@ -21,7 +21,6 @@ import numpy as np
 from ..ops.frontend import FrontendSpec, make_frontend_spec
 from ..utils.observability import Metrics
 from ..protocols.base import (
-    Candidate,
     DecoderConfig,
     Message,
     Parser,
@@ -91,6 +90,9 @@ class WindowDecoder:
         #: host->device transfer and compute of window i+1 with the
         #: device->host fetch and host parse of window i.
         self._inflight = None
+        #: window_index -> monotonic dispatch time; consumed at completion
+        #: to expose the feed->emit latency (metrics feed_to_emit_ms_*).
+        self._dispatch_times: Dict[int, float] = {}
 
     @property
     def window_bytes(self) -> int:
@@ -297,6 +299,9 @@ class WindowDecoder:
             spec, jnp.asarray(staged), self._first_scalar(self._first)
         )
         meta = (staged, self._first, valid_blocks, self._window_index)
+        import time as _time
+
+        self._dispatch_times[self._window_index] = _time.monotonic()
         self._carry = staged[w : w + hs].copy()
         self._first = False
         self._window_index += 1
@@ -312,6 +317,16 @@ class WindowDecoder:
         from ..ops.frontend import unpack_results
 
         staged, first, valid_blocks, window_index = meta
+        t0 = self._dispatch_times.pop(window_index, None)
+        if t0 is not None:
+            import time as _time
+
+            ms = (_time.monotonic() - t0) * 1e3
+            ex = self.metrics.extra
+            ex["feed_to_emit_ms_last"] = round(ms, 2)
+            ex["feed_to_emit_ms_max"] = round(
+                max(ms, ex.get("feed_to_emit_ms_max", 0.0)), 2
+            )
         spec = self.spec
         res = unpack_results(spec, np.asarray(buf))
         if self._overflowed(res, spec):
@@ -370,6 +385,27 @@ class WindowDecoder:
         valid_blocks: Optional[int],
         window_index: int,
     ) -> List[Tuple[int, Message]]:
+        """Two-phase host parse.
+
+        Phase A (vectorized, whole window): per preamble group — batched
+        checksum pre-filter, per-block exact-duplicate collapse, then each
+        parser's :meth:`~rtlamr_tpu.protocols.base.Parser.parse_batch` over
+        the surviving candidate MATRIX (batched CRC/RS + batched bitfield
+        extraction; dataclasses built only for emitted rows).
+
+        Phase B (ordered, per block): the reference's emission semantics —
+        blocks ascending, parsers in registration order within a group,
+        candidates ascending within a parser; FilterChain then digest dedup
+        per block (main.go:235-292).
+
+        Duplicate collapse note: preamble hits form plateaus of adjacent
+        positions slicing identical packets; the reference processes each
+        and dedups via its per-parser seen map (scm/scm.go:62-74) —
+        collapsing exact duplicates per block first is equivalent (first
+        occurrence kept, ascending order preserved). The dedup key is the
+        4-ary symbols for R900 groups (r900/r900.go:209), the packed
+        packet bytes otherwise.
+        """
         spec = self.spec
         bs = spec.block_size
         wb = spec.window // bs
@@ -377,15 +413,8 @@ class WindowDecoder:
             valid_blocks = wb
         window_block0 = window_index * wb
 
-        # Bucket candidates per (local block, group), pre-collapsing exact
-        # duplicates within a block. Preamble hits form plateaus of many
-        # adjacent positions that slice identical packets; the reference
-        # processes each and dedups via its per-parser seen map
-        # (scm/scm.go:62-74) — collapsing exact duplicates first is
-        # equivalent (first occurrence kept, ascending order preserved) and
-        # turns O(plateau) host work into O(distinct packets). Parsers keep
-        # their own seen maps as the semantic authority.
-        by_block: Dict[int, Dict[int, List[Candidate]]] = {}
+        # Phase A.
+        group_parsed = {}  # g -> (b_arr, [per-parser {row: Message}])
         for g, gspec in enumerate(spec.groups):
             count = int(np.asarray(res["counts"])[g][1])
             full = np.asarray(res["idx"][g])
@@ -409,61 +438,63 @@ class WindowDecoder:
             # Batched checksum pre-filter (crc/crc.go:49-55, r900.go:215-221):
             # drop candidates no parser in the group could turn into a
             # message, in one vectorized pass over the whole window. The
-            # parsers re-validate the (few) survivors scalar-wise.
+            # per-parser masks are kept and handed to parse_batch so the
+            # CRC/RS work runs exactly once per parser per window.
+            masks = [p.valid_mask(data, syms) for p in self._group_parsers[g]]
             valid = np.zeros(idx.shape[0], dtype=bool)
-            for parser in self._group_parsers[g]:
-                valid |= parser.valid_mask(data, syms)
+            for m in masks:
+                valid |= m
             if not valid.any():
                 continue
-            idx, b_arr, data = idx[valid], b_arr[valid], data[valid]
+            b_arr, data = b_arr[valid], data[valid]
+            masks = [m[valid] for m in masks]
             if syms is not None:
                 syms = syms[valid]
-            # Candidates are equivalent for every parser in the group when
-            # their dedup key matches: the 4-ary symbols for R900 groups
-            # (r900/r900.go:209), the packed packet bytes otherwise. Dedup
-            # per block via byte-keys (first occurrence kept, ascending
-            # order preserved — the parsers' own seen maps remain the
-            # semantic authority, scm/scm.go:62-74).
+            # Per-block first-occurrence duplicate collapse (see docstring).
             key_mat = syms if gspec.wants_r900 else data
-            cur_b = -1
-            seen_keys = set()
-            cands: List[Candidate] = []
-            for i in range(idx.shape[0]):
-                b = int(b_arr[i])
-                if b != cur_b:
-                    if cands:
-                        by_block.setdefault(cur_b, {})[g] = cands
-                    cur_b = b
-                    seen_keys = set()
-                    cands = []
-                key = key_mat[i].tobytes()
-                if key in seen_keys:
-                    continue
-                seen_keys.add(key)
-                cands.append(
-                    Candidate(
-                        idx=int(idx[i]) - b * bs,
-                        packed=data[i],
-                        r900_symbols=syms[i] if syms is not None else None,
-                    )
-                )
-            if cands:
-                by_block.setdefault(cur_b, {})[g] = cands
+            key_ids = np.empty(key_mat.shape[0], np.int64)
+            seen: Dict[bytes, int] = {}
+            for i, row in enumerate(key_mat):
+                key_ids[i] = seen.setdefault(row.tobytes(), len(seen))
+            composite = b_arr.astype(np.int64) * len(seen) + key_ids
+            _, first_rows = np.unique(composite, return_index=True)
+            rows_keep = np.sort(first_rows)
+            b_arr, data = b_arr[rows_keep], data[rows_keep]
+            masks = [m[rows_keep] for m in masks]
+            if syms is not None:
+                syms = syms[rows_keep]
+            group_parsed[g] = (
+                b_arr,
+                [
+                    p.parse_batch(data, syms, valid=m)
+                    for p, m in zip(self._group_parsers[g], masks)
+                ],
+            )
 
+        # Phase B.
         out: List[Tuple[int, Message]] = []
-        for b in sorted(by_block):
+        blocks = sorted(
+            {int(b) for b_arr, _ in group_parsed.values() for b in b_arr}
+        )
+        for b in blocks:
             global_block = window_block0 + b
             if global_block > self._last_block + 1:
                 # Intervening empty blocks cleared the prev digest set
                 # (each empty block swaps in an empty next, main.go:292).
                 self._deduper.prev = set()
             self._deduper.start_block()
-            for g, parsers in enumerate(self._group_parsers):
-                cands = by_block[b].get(g)
-                if not cands:
+            for g in group_parsed:
+                b_arr, parsed = group_parsed[g]
+                # b_arr ascends (hit indices ascend): one contiguous run.
+                lo = int(np.searchsorted(b_arr, b))
+                hi = int(np.searchsorted(b_arr, b + 1))
+                if lo == hi:
                     continue
-                for parser in parsers:
-                    for msg in parser.parse(cands):
+                for per_parser in parsed:
+                    for r in range(lo, hi):
+                        msg = per_parser.get(r)
+                        if msg is None:
+                            continue
                         if self.filter_fn is not None and not self.filter_fn(msg):
                             self.metrics.messages_dropped_filter += 1
                             continue

@@ -304,6 +304,41 @@ class Parser:
         """
         raise NotImplementedError
 
+    def parse_batch(
+        self,
+        data: np.ndarray,
+        syms: Optional[np.ndarray],
+        valid: Optional[np.ndarray] = None,
+    ) -> Dict[int, "Message"]:
+        """Vectorized whole-window parse: ``{row: Message}`` for every row
+        of the (N, nbytes) candidate matrix that yields a message.
+
+        Semantics are exactly :meth:`parse` minus the per-call ``seen``
+        dedup (the caller collapses exact duplicates per block first, see
+        decoder/pipeline._parse_window). The concrete parsers override this
+        with matrix-op implementations — batched CRC/RS + batched bitfield
+        extraction — so Python-object work happens only for rows that
+        become messages. ``valid``, when given, is this parser's
+        already-computed :meth:`valid_mask` over the same rows (the
+        pipeline computes it for the group pre-filter; passing it in
+        avoids recomputing the batched CRC/RS). This base fallback
+        delegates to :meth:`parse` per row for parsers without a
+        vectorized path.
+        """
+        out: Dict[int, Message] = {}
+        for r in range(data.shape[0]):
+            if valid is not None and not valid[r]:
+                continue
+            cand = Candidate(
+                idx=0,
+                packed=data[r],
+                r900_symbols=syms[r] if syms is not None else None,
+            )
+            msgs = self.parse([cand])
+            if msgs:
+                out[r] = msgs[0]
+        return out
+
     def valid_mask(
         self, data: np.ndarray, syms: Optional[np.ndarray]
     ) -> np.ndarray:

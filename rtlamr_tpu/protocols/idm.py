@@ -236,5 +236,54 @@ class IDMParser(Parser):
             out.append(msg)
         return out
 
+    def _extract_row(self, data_row: np.ndarray, bits_row: np.ndarray,
+                     intervals_row: np.ndarray) -> Message:
+        """One message from precomputed row slices (vectorized path)."""
+        b = bytes(data_row[:PACKET_BYTES])
+        return IDM(
+            Preamble=int.from_bytes(b[0:4], "big"),
+            PacketTypeID=b[4],
+            PacketLength=b[5],
+            HammingCode=b[6],
+            ApplicationVersion=b[7],
+            ERTType=b[8] & 0x0F,
+            ERTSerialNumber=int.from_bytes(b[9:13], "big"),
+            ConsumptionIntervalCount=b[13],
+            ModuleProgrammingState=b[14],
+            TamperCounters=b[15:21],
+            AsynchronousCounters=int.from_bytes(b[21:23], "big"),
+            PowerOutageFlags=b[23:29],
+            LastConsumptionCount=int.from_bytes(b[29:33], "big"),
+            DifferentialConsumptionIntervals=tuple(
+                int(v) for v in intervals_row
+            ),
+            TransmitTimeOffset=int.from_bytes(b[86:88], "big"),
+            SerialNumberCRC=int.from_bytes(b[88:90], "big"),
+            PacketCRC=int.from_bytes(b[90:92], "big"),
+        )
+
+    #: (start, width, count) of the strided interval fields (idm.go:136-141)
+    _INTERVALS = (264, 9, 47)
+
+    def parse_batch(self, data, syms, valid=None):
+        """Whole-window vectorized parse: batched dual CRC + batched
+        interval extraction; per-row byte reads only for emitted rows
+        (idm/idm.go:61-148)."""
+        from ..utils.bits import bitfields_strided_rows
+
+        ok = valid if valid is not None else self.valid_mask(data, None)
+        # serial != 0 without unpacking: bytes[9:13] big-endian.
+        serial_nz = data[:, 9:13].any(axis=1)
+        rows = np.nonzero(ok & serial_nz)[0]
+        if rows.size == 0:
+            return {}
+        bits = np.unpackbits(data[rows], axis=1)
+        start, width, count = self._INTERVALS
+        intervals = bitfields_strided_rows(bits, start, width, count)
+        out = {}
+        for j, r in enumerate(rows):
+            out[int(r)] = self._extract_row(data[r], bits[j], intervals[j])
+        return out
+
 
 register_parser("idm", IDMParser)

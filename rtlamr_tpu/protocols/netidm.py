@@ -175,5 +175,32 @@ class NetIDMParser(IDMParser):
     def _extract(self, cand: Candidate, data: np.ndarray) -> Message:
         return parse_netidm(cand.bit_array(PACKET_SYMBOLS), data)
 
+    #: 27x14-bit intervals from bit 304 (netidm.go:148-154)
+    _INTERVALS = (304, 14, 27)
+
+    def _extract_row(self, data_row: np.ndarray, bits_row: np.ndarray,
+                     intervals_row: np.ndarray) -> Message:
+        b = bytes(data_row[:PACKET_BYTES])
+        return NetIDM(
+            Preamble=int.from_bytes(b[0:4], "big"),
+            ProtocolID=b[4],
+            PacketLength=b[5],
+            HammingCode=b[6],
+            ApplicationVersion=b[7],
+            ERTType=b[8] & 0x0F,
+            ERTSerialNumber=int.from_bytes(b[9:13], "big"),
+            ConsumptionIntervalCount=b[13],
+            ProgrammingState=b[14],
+            LastConsumption=int.from_bytes(b[25:28], "big"),
+            LastGeneration=int.from_bytes(b[28:31], "big"),
+            LastConsumptionNet=int.from_bytes(b[34:38], "big"),
+            DifferentialConsumptionIntervals=tuple(
+                int(v) for v in intervals_row
+            ),
+            TransmitTimeOffset=int.from_bytes(b[86:88], "big"),
+            SerialNumberCRC=int.from_bytes(b[88:90], "big"),
+            PacketCRC=int.from_bytes(b[90:92], "big"),
+        )
+
 
 register_parser("netidm", NetIDMParser)

@@ -190,5 +190,43 @@ class R900Parser(Parser):
             out.append(self._wrap(msg))
         return out
 
+    def parse_batch(self, data, syms, valid=None):
+        """Whole-window vectorized parse: batched base-6 conversion, batched
+        RS syndromes, batched bitfields (r900/r900.go:187-244)."""
+        from ..utils.bits import bitfield_rows as f
+
+        if syms is None:
+            return {}
+        if valid is None:
+            valid = self.valid_mask(data, syms)
+        rows = np.nonzero(valid)[0]
+        if rows.size == 0:
+            return {}
+        digits = syms[rows].astype(np.int64).reshape(rows.size, 21, 2)
+        sym = (digits[:, :, 0] * 6 + digits[:, :, 1]).astype(np.uint8)
+        # 21 x 5-bit symbols -> 105 payload bits per row.
+        bits = np.unpackbits(sym[:, :, None], axis=2)[:, :, 3:].reshape(
+            rows.size, 105
+        )
+        vals = {
+            "ID": f(bits, 0, 32),
+            "Unkn1": f(bits, 32, 40),
+            "NoUse": f(bits, 40, 46),
+            "BackFlow": f(bits, 46, 48),
+            "Consumption": f(bits, 48, 72),
+            "Unkn3": f(bits, 72, 74),
+            "Leak": f(bits, 74, 78),
+            "LeakNow": f(bits, 78, 80),
+        }
+        out = {}
+        for j, r in enumerate(rows):
+            out[int(r)] = self._wrap(
+                R900(
+                    **{k: int(v[j]) for k, v in vals.items()},
+                    checksum_symbols=bytes(sym[j, 16:21]),
+                )
+            )
+        return out
+
 
 register_parser("r900", R900Parser)

@@ -131,5 +131,35 @@ class SCMParser(Parser):
             out.append(msg)
         return out
 
+    def parse_batch(self, data, syms, valid=None):
+        """Whole-window vectorized parse: batched CRC, batched bitfields,
+        dataclasses only for emitted rows (scm/scm.go:61-118)."""
+        from ..utils.bits import bitfield_rows as f
+
+        ok = valid if valid is not None else (
+            self.crc.checksum_batch(data[:, 2:12]) == 0
+        )
+        rows = np.nonzero(ok)[0]
+        if rows.size == 0:
+            return {}
+        bits = np.unpackbits(data[rows], axis=1)
+        ert_id = (f(bits, 21, 23) << np.uint64(24)) | f(bits, 56, 80)
+        typ = f(bits, 26, 30)
+        t_phy = f(bits, 24, 26)
+        t_enc = f(bits, 30, 32)
+        cons = f(bits, 32, 56)
+        cksum = f(bits, 80, 96)
+        out = {}
+        for j in np.nonzero(ert_id != 0)[0]:
+            out[int(rows[j])] = SCM(
+                ID=int(ert_id[j]),
+                Type=int(typ[j]),
+                TamperPhy=int(t_phy[j]),
+                TamperEnc=int(t_enc[j]),
+                Consumption=int(cons[j]),
+                ChecksumVal=int(cksum[j]),
+            )
+        return out
+
 
 register_parser("scm", SCMParser)

@@ -139,5 +139,41 @@ class SCMPlusParser(Parser):
             out.append(msg)
         return out
 
+    def parse_batch(self, data, syms, valid=None):
+        """Whole-window vectorized parse: batched CRC, big-endian struct
+        fields as column arithmetic (scmplus.go:62-109)."""
+        import numpy as np
+
+        ok = valid if valid is not None else (
+            self.crc.checksum_batch(data[:, 2:16]) == self.crc.residue
+        )
+        rows = np.nonzero(ok)[0]
+        if rows.size == 0:
+            return {}
+        d = data[rows].astype(np.uint64)
+
+        def be(lo, hi):
+            v = d[:, lo]
+            for c in range(lo + 1, hi):
+                v = (v << np.uint64(8)) | d[:, c]
+            return v
+
+        endpoint_id = be(4, 8)
+        keep = (endpoint_id != 0) & (d[:, 2] == 0x1E)
+        frame_sync, cons = be(0, 2), be(8, 12)
+        tamper, crc_v = be(12, 14), be(14, 16)
+        out = {}
+        for j in np.nonzero(keep)[0]:
+            out[int(rows[j])] = SCMPlus(
+                FrameSync=int(frame_sync[j]),
+                ProtocolID=int(d[j, 2]),
+                EndpointType=int(d[j, 3]),
+                EndpointID=int(endpoint_id[j]),
+                Consumption=int(cons[j]),
+                Tamper=int(tamper[j]),
+                PacketCRC=int(crc_v[j]),
+            )
+        return out
+
 
 register_parser("scm+", SCMPlusParser)

@@ -55,3 +55,29 @@ def bitfields_strided(
         np.uint64(1), np.arange(width - 1, -1, -1, dtype=np.uint64)
     )
     return b @ weights
+
+
+def _weights(width: int) -> np.ndarray:
+    return np.left_shift(
+        np.uint64(1), np.arange(width - 1, -1, -1, dtype=np.uint64)
+    )
+
+
+def bitfield_rows(bits: np.ndarray, lo: int, hi: int) -> np.ndarray:
+    """MSB-first value of bits[:, lo:hi] for every row of an (N, B) 0/1
+    matrix — the batch form of :func:`bitfield` used by the vectorized
+    whole-window parsers. Returns (N,) uint64."""
+    return (bits[:, lo:hi].astype(np.uint64) * _weights(hi - lo)).sum(axis=1)
+
+
+def bitfields_strided_rows(
+    bits: np.ndarray, start: int, width: int, count: int
+) -> np.ndarray:
+    """Batch form of :func:`bitfields_strided`: ``count`` consecutive
+    ``width``-bit fields per row. Returns (N, count) uint64."""
+    b = (
+        np.asarray(bits)[:, start : start + width * count]
+        .reshape(bits.shape[0], count, width)
+        .astype(np.uint64)
+    )
+    return (b * _weights(width)).sum(axis=2)

@@ -339,6 +339,56 @@ def test_cli_wideband_live_tunes_wideband_rate():
     assert cmds.get(0x02) == 4 * 32768 * 8  # wideband sample rate
 
 
+def test_latency_preset_window_sizing():
+    """-latency defaults windowblocks to 4; explicit -windowblocks wins."""
+    from rtlamr_tpu.cli.main import Receiver
+
+    fs = build_flagset()
+    fs.parse(["-latency", "-fromfile=x"])
+    r = Receiver(fs)
+    assert r.latency and fs.value("windowblocks") == 4
+    assert r.decoder.spec.window == 4 * r.cfg.block_size
+
+    fs2 = build_flagset()
+    fs2.parse(["-latency", "-windowblocks=16", "-fromfile=x"])
+    r2 = Receiver(fs2)
+    assert fs2.value("windowblocks") == 16
+
+
+def test_live_latency_preset_roundtrip():
+    """Live path under -latency: block-granular reads + synchronous window
+    completion still decode correctly (and -metrics exposes the
+    feed_to_emit counters)."""
+    bits = synth.make_scm_bits(meter_id=27182818, consumption=9)
+    from rtlamr_tpu.protocols import new_parser
+    from rtlamr_tpu.protocols.base import build_decoder_config
+
+    cfg = build_decoder_config([new_parser("scm", 72)])
+    iq = synth.render_iq(
+        cfg.block_size * 12,
+        [synth.bits_to_burst(bits, cfg.block_size * 2)],
+        72,
+        noise=2.0,
+        seed=6,
+    )
+    server = FakeRtlTcp(iq)
+    server.start()
+    rc, out = run_cli(
+        [
+            "-msgtype=scm",
+            "-latency",
+            f"-server=127.0.0.1:{server.port}",
+            "-single=true",
+            "-duration=12s",
+            "-format=json",
+        ]
+    )
+    lines = out.strip().splitlines()
+    assert len(lines) >= 1
+    assert json.loads(lines[0])["Message"]["ID"] == 27182818
+    server.join(timeout=5)
+
+
 def test_live_rtltcp_roundtrip():
     """Full live path: connect, tune, stream, decode, -duration exit."""
     bits = synth.make_scm_bits(meter_id=31415926, consumption=123)
