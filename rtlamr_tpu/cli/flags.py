@@ -281,6 +281,33 @@ def build_flagset() -> FlagSet:
         "device compute backend: jnp (XLA) or pallas (fused kernel)",
     )
     fs.add(
+        "coordinator",
+        "",
+        "multi-host decode: jax.distributed coordinator address "
+        "(host:port). Launch the SAME command on every host with "
+        "-numprocs/-procid; each process decodes its share of the "
+        "-fromfile capture on the global device mesh",
+    )
+    fs.add(
+        "numprocs",
+        1,
+        "multi-host decode: total number of processes",
+        kind="int",
+    )
+    fs.add(
+        "procid",
+        0,
+        "multi-host decode: this process's id (0-based)",
+        kind="int",
+    )
+    fs.add(
+        "cpudevices",
+        0,
+        "multi-host decode: simulate this many CPU devices per process "
+        "(0 = use the real local accelerators)",
+        kind="int",
+    )
+    fs.add(
         "latency",
         False,
         "low-latency live preset: small decode window (unless -windowblocks "

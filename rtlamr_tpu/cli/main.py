@@ -48,6 +48,19 @@ def expand_msgtypes(msgtypes: set) -> List[str]:
     return sorted(msgtypes)
 
 
+def build_filter_chain(fs: FlagSet) -> FilterChain:
+    """Filter chain in the reference's flag.Visit order (main.go:97-114:
+    lexicographic — filterid, filtertype, unique)."""
+    fc = FilterChain()
+    if fs["filterid"].set_explicitly:
+        fc.append(MeterIDFilter(fs.value("filterid")))
+    if fs["filtertype"].set_explicitly:
+        fc.append(MeterTypeFilter(fs.value("filtertype")))
+    if fs.value("unique"):
+        fc.append(UniqueFilter())
+    return fc
+
+
 class Receiver:
     """Receiver lifecycle (main.go:49-133) for live and offline sources."""
 
@@ -70,15 +83,7 @@ class Receiver:
                 _log("message type error:", e)
                 raise SystemExit(1)
 
-        # Filter chain in the reference's flag.Visit order (main.go:97-114:
-        # lexicographic — filterid, filtertype, unique).
-        self.fc = FilterChain()
-        if fs["filterid"].set_explicitly:
-            self.fc.append(MeterIDFilter(fs.value("filterid")))
-        if fs["filtertype"].set_explicitly:
-            self.fc.append(MeterTypeFilter(fs.value("filtertype")))
-        if fs.value("unique"):
-            self.fc.append(UniqueFilter())
+        self.fc = build_filter_chain(fs)
 
         channels = fs.value("channels")
         if channels < 1:
@@ -243,8 +248,99 @@ def _enable_compile_cache() -> None:
         pass  # cache is an optimization; never block the decode
 
 
+def run_multihost(fs: FlagSet, out=sys.stdout) -> int:
+    """Multi-host capture decode (-coordinator/-numprocs/-procid).
+
+    Every host runs the SAME command; ``jax.distributed`` builds one global
+    device mesh and each process decodes its contiguous share of every
+    super-batch of the -fromfile capture through
+    :class:`~rtlamr_tpu.parallel.distributed.MultiHostDecoder` (in-program
+    ppermute halos, seam digest dedup — packets straddling host boundaries
+    decode exactly once globally). Each process emits ITS windows' messages
+    on its own stdout; Offset/Length/-samplefile ring semantics do not
+    apply (no single process observes the whole stream).
+    """
+    import os as _os
+
+    fromfile = fs.value("fromfile")
+    if not fromfile or fromfile == "-":
+        _log("-coordinator requires -fromfile (seekable capture)")
+        raise SystemExit(1)
+    _enable_compile_cache()
+
+    from ..parallel.distributed import MultiHostDecoder, initialize
+
+    num_procs = fs.value("numprocs")
+    proc_id = fs.value("procid")
+    cpudev = fs.value("cpudevices")
+    initialize(
+        fs.value("coordinator"),
+        num_procs,
+        proc_id,
+        cpu_devices_per_process=cpudev if cpudev > 0 else None,
+    )
+
+    chip_length = fs.value("symbollength")
+    parsers = [
+        new_parser(name, chip_length)
+        for name in expand_msgtypes(fs.value("msgtype"))
+    ]
+    fc = build_filter_chain(fs)
+    dec = MultiHostDecoder(
+        parsers,
+        window_blocks=fs.value("windowblocks"),
+        max_hits=fs.value("maxhits"),
+        backend=fs.value("backend"),
+        filter_fn=fc.match,
+    )
+    _log(dec.cfg.describe())
+    encoder = make_encoder(fs.value("format"), out)
+
+    lwb = dec.local_window_bytes
+    batch_bytes = num_procs * lwb
+    bs2 = dec.cfg.block_size2
+    file_bytes = _os.path.getsize(fromfile)
+    total_blocks = file_bytes // bs2
+    batch_blocks = batch_bytes // bs2
+
+    def emit(msgs):
+        for _b, msg in msgs:
+            encoder.encode(
+                LogMessage(
+                    time=datetime.datetime.now(),
+                    offset=0,
+                    length=0,
+                    msg=msg,
+                )
+            )
+
+    with open(fromfile, "rb") as f:
+        j = 0
+        while j * batch_bytes < total_blocks * bs2:
+            f.seek(j * batch_bytes + proc_id * lwb)
+            seg = np.frombuffer(f.read(lwb), np.uint8)
+            if seg.size < lwb:
+                pad = np.zeros(lwb, np.uint8)
+                pad[: seg.size] = seg
+                seg = pad
+            vb = min(total_blocks - j * batch_blocks, batch_blocks)
+            emit(
+                dec.decode_superbatch_local(
+                    seg, valid_blocks=vb if vb < batch_blocks else None
+                )
+            )
+            j += 1
+    emit(dec.drain())
+    if fs.value("metrics"):
+        _log("metrics:", dec._local.metrics.snapshot())
+    return 0
+
+
 def run(fs: FlagSet, out=sys.stdout) -> int:
     from ..utils.observability import RateWatchdog, profile_trace
+
+    if fs.value("coordinator"):
+        return run_multihost(fs, out)
 
     _enable_compile_cache()
     receiver = Receiver(fs)

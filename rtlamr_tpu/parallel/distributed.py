@@ -92,6 +92,7 @@ class MultiHostDecoder:
         max_hits: int = 256,
         backend: str = "jnp",
         scan_windows: int = 2,
+        filter_fn=None,
     ):
         import jax
         from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
@@ -112,6 +113,7 @@ class MultiHostDecoder:
             window_blocks=window_blocks,
             max_hits=max_hits,
             backend=backend,
+            filter_fn=filter_fn,
         )
         self.spec = self._local.spec
         self.cfg = self._local.cfg

@@ -223,6 +223,81 @@ def test_two_process_all_protocols(tmp_path):
     assert got == expect, got
 
 
+def test_multihost_cli_entry(tmp_path):
+    """The CLI multi-host launch entry (-coordinator/-numprocs/-procid):
+    two OS processes run the SAME command over a shared -fromfile capture;
+    the union of their stdout message streams equals the oracle with the
+    seam packet exactly once (VERDICT r3 missing item 1, multi-host part)."""
+    from rtlamr_tpu.decoder import WindowDecoder
+    from rtlamr_tpu.protocols import new_parser
+    from rtlamr_tpu.ref import ReferenceDecoder
+    from tools.multihost_worker import build_capture
+
+    parsers = [new_parser("scm", 8)]
+    spec = WindowDecoder(parsers, window_blocks=4).spec
+    w = spec.window
+    n_windows = 2 * 2 * 2  # procs * devices * scan_windows
+    oracle_dec = ReferenceDecoder([new_parser("scm", 8)], arithmetic="int")
+    iq = build_capture(oracle_dec.cfg, w, n_windows, 8)
+    cap = tmp_path / "mh.bin"
+    iq.tofile(cap)
+
+    coordinator = f"127.0.0.1:{_free_port()}"
+    env = {
+        k: v
+        for k, v in os.environ.items()
+        if k not in ("JAX_PLATFORMS", "XLA_FLAGS")
+    }
+    env["PYTHONPATH"] = "/root/repo" + (
+        ":" + env["PYTHONPATH"] if env.get("PYTHONPATH") else ""
+    )
+    procs = [
+        subprocess.Popen(
+            [
+                sys.executable,
+                "-m",
+                "rtlamr_tpu.cli",
+                "-msgtype=scm",
+                "-symbollength=8",
+                "-windowblocks=4",
+                f"-coordinator={coordinator}",
+                "-numprocs=2",
+                f"-procid={p}",
+                "-cpudevices=2",
+                f"-fromfile={cap}",
+                "-format=json",
+            ],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+            cwd="/root/repo",
+            env=env,
+        )
+        for p in range(2)
+    ]
+    outs = []
+    for p, proc in enumerate(procs):
+        try:
+            o, err = proc.communicate(timeout=540)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail(f"cli proc {p} timed out")
+        assert proc.returncode == 0, f"cli proc {p} failed:\n{err.decode()}"
+        outs.append(o.decode())
+
+    got = []
+    for o in outs:
+        # Gloo writes banners to the same fd and can interleave mid-line;
+        # recover each JSON record by its distinctive prefix.
+        for line in o.strip().splitlines():
+            at = line.find('{"Time"')
+            if at >= 0:
+                got.append(json.loads(line[at:])["Message"]["ID"])
+    want = [m.meter_id() for _b, m in oracle_dec.decode_capture(iq)]
+    assert sorted(got) == sorted(want)
+    assert sorted(got) == [111111, 222222, 333333]
+
+
 def test_two_process_overflow_storm_and_batch_seam(tmp_path):
     """VERDICT r2 item 3: hit-overflow storm exactly on the process seam
     (escalation re-decode with the true cross-process halo) and a plateau
