@@ -242,8 +242,13 @@ def make_frontend_spec(
         )
     window = window_blocks * cfg.block_size
     # Preamble hits form plateaus ~ChipLength positions wide per packet, so
-    # the raw-hit gather needs ~CL x the distinct-candidate capacity.
-    gather_hits = min(max(4 * max_hits, 4096), window)
+    # the raw-hit gather needs ~CL x the distinct-candidate capacity. The
+    # compaction sorts and slicing gathers cost proportionally to this
+    # STATIC capacity (SEARCH_TUNING.json: 9.2 -> 6.0 ms/window going
+    # 4096 -> 2048 at the bench shapes), so keep it as tight as the
+    # escalation path allows: the all-protocol bench density (51 msgs over
+    # ~20 candidates/group/window) peaks at ~1400 raw hits per group.
+    gather_hits = min(max(4 * max_hits, 2048), window)
     lp_rows = -(-(window + cfg.packet_length) // LANES)
     return FrontendSpec(
         chip_length=cfg.chip_length,
@@ -262,9 +267,12 @@ def make_frontend_spec(
         # escalates to a larger program variant, then to the exact host path.
         gather_hits=gather_hits,
         # Preamble plateaus cluster in few 128-sample rows (~2 rows per
-        # packet), so row capacity can sit well under gather_hits; overflow
+        # packet; 180-197 rows at the 51-msg/window bench density), so row
+        # capacity can sit well under gather_hits — but with 2x margin
+        # (384) since the level-1/2 sorts are near-free (SEARCH_TUNING
+        # probe2: lax.sort <= 0.16 ms at every relevant length); overflow
         # escalates to the high-capacity variant like any other overflow.
-        gather_rows=min(max(gather_hits // 8, 512), window // 128),
+        gather_rows=min(max(3 * gather_hits // 16, 384), window // 128),
         # 512 rows (65,536 positions) per Pallas tile: the largest tile whose
         # int32 stencil temporaries fit Mosaic's 16MB scoped-VMEM stack.
         tile_rows=min(512, _round_up(lp_rows, 8)),

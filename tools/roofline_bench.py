@@ -194,6 +194,18 @@ def main() -> None:
 
     # --- host parse of the fetched batch.
     host = np.asarray(packed_batch)
+    # Occupancy diagnostics: raw plateau hits and unique candidates per
+    # group per window, vs the static capacities the program pays for.
+    raw = np.stack(
+        [unpack_results(spec, host[i])["counts"] for i in range(n_windows)]
+    )  # (K, G, 2)
+    out["occupancy"] = {
+        "raw_hits_per_group_max": raw[:, :, 0].max(axis=0).tolist(),
+        "unique_candidates_per_group_max": raw[:, :, 1].max(axis=0).tolist(),
+        "gather_hits_capacity": spec.gather_hits,
+        "gather_rows_capacity": spec.gather_rows,
+    }
+    print("occupancy:", out["occupancy"], file=sys.stderr)
     def parse_all():
         dec.reset()
         dec._first = False
