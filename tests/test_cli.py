@@ -339,6 +339,30 @@ def test_cli_wideband_live_tunes_wideband_rate():
     assert cmds.get(0x02) == 4 * 32768 * 8  # wideband sample rate
 
 
+def test_cli_mesh_fromfile(sample_path):
+    """-mesh decodes the golden capture on the virtual 8-device mesh with
+    output identical to the single-chip path (the capture is smaller than
+    one super-batch, so this also exercises the padded flush path)."""
+    import jax
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multiple devices")
+    rc, out = run_cli(
+        GOLDEN_ARGS + ["-mesh", "-format=json", f"-fromfile={sample_path}"]
+    )
+    assert rc == 0
+    lines = out.strip().splitlines()
+    assert len(lines) == 14
+    rc2, out2 = run_cli(
+        GOLDEN_ARGS + ["-format=json", f"-fromfile={sample_path}"]
+    )
+    strip = lambda s: [
+        {k: v for k, v in json.loads(l).items() if k != "Time"}
+        for l in s.strip().splitlines()
+    ]
+    assert strip(out) == strip(out2)
+
+
 def test_latency_preset_window_sizing():
     """-latency defaults windowblocks to 4; explicit -windowblocks wins."""
     from rtlamr_tpu.cli.main import Receiver
