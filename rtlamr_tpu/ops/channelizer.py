@@ -148,25 +148,31 @@ def polyphase_branches(
     """
     n = spec.n_channels
     p_taps = spec.taps_per_branch
-    h2 = jnp.asarray(_polyphase_taps(spec), jnp.float32)
+    h2 = _polyphase_taps(spec)
     f = frames.shape[2]
     h = hist.shape[2]
     assert h == p_taps, "history must be taps_per_branch frames"
 
+    # Permutation-FOLDED formulation (bit-identical to the materialized
+    # row-permute + delayed-shift + 8 sliced FMAs it replaces, same tap
+    # summation order — CHAN_VARIANTS.json: 24.4 -> 12.8 ms at the bench
+    # shape): branch b reads plane j_b = (N - b) mod N delayed one frame
+    # for b >= 1, so apply the taps per PLANE at per-branch offsets and
+    # reorder rows only in the tiny output stack. No permuted/shifted
+    # copy of the (2, N, P+F) array is ever materialized.
     full = jnp.concatenate([hist, frames], axis=2)  # (2, N, P+F)
-    # Row order j_b: b=0 -> 0, b>=1 -> N-b; rows b>=1 delayed one frame.
-    g_perm = jnp.concatenate([full[:, :1], full[:, :0:-1]], axis=1)
-    shifted = jnp.concatenate(
-        [g_perm[:, 1:, :1], g_perm[:, 1:, :-1]], axis=2
-    )  # garbage in column 0, never read (min index used is 1 for H = P)
-    g = jnp.concatenate([g_perm[:, :1], shifted], axis=1)  # (2, N, P+F)
-
-    y = jnp.zeros((2, n, f), jnp.float32)
-    for p in range(p_taps):
-        y = y + h2[p][None, :, None] * jax.lax.dynamic_slice(
-            g, (0, 0, h - p), (2, n, f)
-        )
-    return y
+    ys = []
+    for b in range(n):
+        j = (n - b) % n
+        d = 1 if b >= 1 else 0
+        acc = jnp.zeros((2, f), jnp.float32)
+        for p in range(p_taps):
+            lo = h - p - d
+            acc = acc + h2[p, b] * jax.lax.slice(
+                full[:, j], (0, lo), (2, lo + f)
+            )
+        ys.append(acc)
+    return jnp.stack(ys, axis=1)  # (2, N, F)
 
 
 def mix_channels(

@@ -1,7 +1,11 @@
 """Layout-variant probe for the channelizer rewrite (follow-up to
-CHANNELIZER_PROBE.json). Times alternative lowerings of the deinterleave
-(frames) and the polyphase (branches) stages; all candidates are
-bit-exact reformulations.
+CHANNELIZER_PROBE.json). Times bit-exact reformulations of the
+deinterleave (frames) and polyphase (branches) stages.
+
+Key simplification: the device-side u8->u16 pairing is free on HOST
+(np.view(np.uint16), zero copy), so the variants take a flat u16 stream
+(one element per complex sample, i|q<<8) as input — the same convention
+the narrowband staged path already uses.
 
 Usage: python tools/chan_variants_probe.py
 Writes CHAN_VARIANTS.json.
@@ -33,8 +37,11 @@ def main() -> None:
 
     rng = np.random.default_rng(0)
     iq = rng.integers(0, 256, 2 * N * F, dtype=np.uint8)
+    s16 = iq.view(np.uint16)  # host-side zero-copy pairing
     iq_dev = jax.device_put(jnp.asarray(iq))
+    s16_dev = jax.device_put(jnp.asarray(s16))
     _tiny_fetch(iq_dev)
+    _tiny_fetch(s16_dev)
 
     out = {"n_channels": N, "frames": F}
 
@@ -42,7 +49,7 @@ def main() -> None:
         out[name] = round(ms, 3)
         print(f"{name:>24}: {ms:8.3f} ms", file=sys.stderr)
 
-    # (a) current production formulation.
+    # (a) current production formulation (u8 input).
     @jax.jit
     def frames_current(b):
         z = b.reshape(-1, 2 * N).T.astype(jnp.float32) - 127.5
@@ -51,44 +58,44 @@ def main() -> None:
     rep("frames_current", _ms_slope(lambda: frames_current(iq_dev)))
     ref = np.asarray(frames_current(iq_dev))
 
-    # (b) u16 bitcast per-sample, transpose at u16 width, split i/q after.
-    @jax.jit
-    def frames_u16(b):
-        s = jax.lax.bitcast_convert_type(b.reshape(-1, 2), jnp.uint16)
-        m = s.reshape(-1, N).T.astype(jnp.int32)  # (N, F)
-        i = (m & 255).astype(jnp.float32) - 127.5
-        q = (m >> 8).astype(jnp.float32) - 127.5
-        return jnp.stack([i, q], axis=0)
-
-    rep("frames_u16T", _ms_slope(lambda: frames_u16(iq_dev)))
-    assert np.array_equal(np.asarray(frames_u16(iq_dev)), ref)
-
-    # (c) 3D permute keeping a 128 minor on the output.
-    @jax.jit
-    def frames_3d(b):
-        s = jax.lax.bitcast_convert_type(b.reshape(-1, 2), jnp.uint16)
-        m = s.reshape(-1, 128, N).transpose(2, 0, 1).reshape(N, -1)
+    def split(m):
         m = m.astype(jnp.int32)
         i = (m & 255).astype(jnp.float32) - 127.5
         q = (m >> 8).astype(jnp.float32) - 127.5
         return jnp.stack([i, q], axis=0)
 
-    # NOTE: (c) computes plane j of a DIFFERENT frame order (stride over
-    # 128-blocks) — layout probe only, not a drop-in.
-    rep("frames_3d_probe", _ms_slope(lambda: frames_3d(iq_dev)))
+    # (b) u16 transpose then i/q split.
+    @jax.jit
+    def frames_u16(s):
+        return split(s.reshape(-1, N).T)
+
+    rep("frames_u16T", _ms_slope(lambda: frames_u16(s16_dev)))
+    assert np.array_equal(np.asarray(frames_u16(s16_dev)), ref)
 
     # (d) strided slices from the flat u16 stream.
     @jax.jit
-    def frames_strided(b):
-        s = jax.lax.bitcast_convert_type(b.reshape(-1, 2), jnp.uint16)
-        planes = jnp.stack([s[j::N] for j in range(N)])  # (N, F)
-        m = planes.astype(jnp.int32)
+    def frames_strided(s):
+        return split(jnp.stack([s[j::N] for j in range(N)]))
+
+    rep("frames_strided", _ms_slope(lambda: frames_strided(s16_dev)))
+    assert np.array_equal(np.asarray(frames_strided(s16_dev)), ref)
+
+    # (e) f32 widen FIRST (flat, clean layout), then strided slices.
+    @jax.jit
+    def frames_f32_strided(s):
+        m = s.astype(jnp.int32)
         i = (m & 255).astype(jnp.float32) - 127.5
         q = (m >> 8).astype(jnp.float32) - 127.5
-        return jnp.stack([i, q], axis=0)
+        return jnp.stack(
+            [
+                jnp.stack([i[j::N] for j in range(N)]),
+                jnp.stack([q[j::N] for j in range(N)]),
+            ],
+            axis=0,
+        )
 
-    rep("frames_strided", _ms_slope(lambda: frames_strided(iq_dev)))
-    assert np.array_equal(np.asarray(frames_strided(iq_dev)), ref)
+    rep("frames_f32_strided", _ms_slope(lambda: frames_f32_strided(s16_dev)))
+    assert np.array_equal(np.asarray(frames_f32_strided(s16_dev)), ref)
 
     # --- branches: current vs permutation-folded static-slice formulation.
     from rtlamr_tpu.ops.channelizer import (
@@ -106,9 +113,6 @@ def main() -> None:
     rep("branches_current", _ms_slope(lambda: f_br(hist, frames)))
     ref_y = np.asarray(f_br(hist, frames))
 
-    # Permutation-folded: y[b] uses plane j_b = (N-b)%N delayed one frame
-    # for b>=1. Work per-plane with taps applied at per-branch offsets,
-    # then reorder rows once at the end (tiny (2,N,*) take).
     h2 = _polyphase_taps(spec)
     p_taps = spec.taps_per_branch
 
