@@ -205,15 +205,21 @@ def mix_channels(
             jnp.asarray(ei_np), channel_start, channel_count, axis=0
         )
     yr, yi = y[0], y[1]  # (N, F)
-    # HIGHEST precision: keeps the mix in true f32 (TPU matmuls default to
-    # bf16, whose half-ULP at amplitude ~127 could flip the u8 requantize
-    # rounding and desync from the f32 oracle); the (C, N) contraction is
-    # tiny, so the extra passes are free.
-    dot = functools.partial(
-        jnp.matmul, precision=jax.lax.Precision.HIGHEST
-    )
-    cr = dot(er, yr) - dot(ei, yi)
-    ci = dot(er, yi) + dot(ei, yr)
+    # Explicit f32 FMA chain, branch index ascending. Three properties the
+    # earlier HIGHEST-precision matmul lacked: (a) per-OUTPUT-ROW
+    # independence is syntactically manifest (a mesh shard computing only
+    # its rows is bit-identical to the full mix,
+    # test_mix_channels_block_equals_full); (b) the exact accumulation
+    # order is replicable bit-for-bit by the fused Pallas kernel
+    # (ops/pallas_channelizer.py); (c) still true f32 — no bf16 matmul
+    # rounding that could flip the u8 requantize and desync from the
+    # oracle.
+    f_len = yr.shape[1]
+    cr = jnp.zeros((er.shape[0], f_len), jnp.float32)
+    ci = jnp.zeros((er.shape[0], f_len), jnp.float32)
+    for b in range(n):
+        cr = cr + er[:, b : b + 1] * yr[b] - ei[:, b : b + 1] * yi[b]
+        ci = ci + er[:, b : b + 1] * yi[b] + ei[:, b : b + 1] * yr[b]
     return jnp.stack([cr, ci], axis=0)
 
 

@@ -105,8 +105,17 @@ def _wideband_step(chspec, spec, wb_hist, wb_new, chan_tail, firsts):
     hs = spec.halo_staged
 
     frames = iq_bytes_to_frames(chspec, wb_new)  # (2, N, W) f32
-    ch = channelize(chspec, wb_hist, frames)  # (2, N, W) f32
-    u16 = requantize_u16(ch)  # (N, W) u16
+    if spec.backend == "pallas":
+        # Fused branches+mix+requantize kernel (ops/pallas_channelizer.py):
+        # one VMEM pass instead of the layout-bound XLA intermediates;
+        # same accumulation order as the jnp chain below (equal up to the
+        # FMA-contraction ulp — see the kernel module docstring).
+        from ..ops.pallas_channelizer import channelize_requantize_fused
+
+        u16 = channelize_requantize_fused(chspec, wb_hist, frames)
+    else:
+        ch = channelize(chspec, wb_hist, frames)  # (2, N, W) f32
+        u16 = requantize_u16(ch)  # (N, W) u16
 
     staged = jnp.zeros((n, geo.staged_samples), jnp.uint16)
     staged = staged.at[:, :hs].set(chan_tail)
