@@ -248,9 +248,10 @@ def _xml_escape_bytes(b: bytes) -> str:
         esc = _XML_ESCAPES.get(c)
         if esc is not None:
             out.append(esc)
-        elif w == 1 and r == 0xFFFD:
-            out.append("�")  # genuine decode error
         elif _in_xml_char_range(r):
+            # Covers genuine decode errors too: they decode to U+FFFD,
+            # which is itself inside the XML char range and renders as
+            # the replacement character either way.
             out.append(c)
         else:
             out.append("�")

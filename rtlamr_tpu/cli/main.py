@@ -266,6 +266,15 @@ def run_multihost(fs: FlagSet, out=sys.stdout) -> int:
     if not fromfile or fromfile == "-":
         _log("-coordinator requires -fromfile (seekable capture)")
         raise SystemExit(1)
+    # Flags the multi-host batch path does not implement yet — say so
+    # loudly rather than dropping them silently.
+    unsupported = (
+        "checkpoint", "duration", "single", "samplefile", "channels",
+        "latency", "mesh",
+    )
+    for name in unsupported:
+        if fs[name].set_explicitly:
+            _log(f"-{name} is not supported in multi-host mode; ignoring")
     _enable_compile_cache()
 
     from ..parallel.distributed import MultiHostDecoder, initialize

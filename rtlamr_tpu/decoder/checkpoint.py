@@ -222,6 +222,13 @@ def restore_checkpoint(dec, ckpt) -> None:
                 f"{ckpt.chan_tail.shape[1]} tail samples, decoder wants "
                 f"({n}, {dec.spec.halo_staged})"
             )
+        want_hist = np.asarray(dec._wb_hist).shape
+        if ckpt.wb_hist.shape != want_hist:
+            raise ValueError(
+                "checkpoint geometry mismatch: channelizer history has "
+                f"{ckpt.wb_hist.shape}, decoder wants {want_hist} "
+                "(different taps_per_branch?)"
+            )
         dec._window_index = ckpt.window_index
         dec._first = ckpt.first
         dec._wb_hist = jnp.asarray(ckpt.wb_hist, jnp.float32)

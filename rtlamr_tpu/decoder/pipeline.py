@@ -451,23 +451,57 @@ class WindowDecoder:
             if syms is not None:
                 syms = syms[valid]
             # Per-block first-occurrence duplicate collapse (see docstring).
+            # The scalar path dedups per PARSER at the parser's own packet
+            # width (scm/scm.go:62-74: seen keys are that parser's packed
+            # bytes) — replicate exactly: one first-occurrence mask per
+            # distinct key width in the group, the union of kept rows
+            # survives, and each parser's valid mask is ANDed with the mask
+            # for ITS width. (Every current group is width-uniform, but a
+            # mixed-width group would otherwise under-collapse for the
+            # shorter parser.)
             key_mat = syms if gspec.wants_r900 else data
-            key_ids = np.empty(key_mat.shape[0], np.int64)
-            seen: Dict[bytes, int] = {}
-            for i, row in enumerate(key_mat):
-                key_ids[i] = seen.setdefault(row.tobytes(), len(seen))
-            composite = b_arr.astype(np.int64) * len(seen) + key_ids
-            _, first_rows = np.unique(composite, return_index=True)
-            rows_keep = np.sort(first_rows)
+            widths = sorted(
+                {
+                    key_mat.shape[1]
+                    if gspec.wants_r900
+                    else (p.cfg.packet_symbols + 7) >> 3
+                    for p in self._group_parsers[g]
+                }
+            )
+            fo_by_width: Dict[int, np.ndarray] = {}
+            for width in widths:
+                key_ids = np.empty(key_mat.shape[0], np.int64)
+                seen: Dict[bytes, int] = {}
+                for i in range(key_mat.shape[0]):
+                    key_ids[i] = seen.setdefault(
+                        key_mat[i, :width].tobytes(), len(seen)
+                    )
+                composite = b_arr.astype(np.int64) * len(seen) + key_ids
+                fo = np.zeros(key_mat.shape[0], dtype=bool)
+                fo[np.unique(composite, return_index=True)[1]] = True
+                fo_by_width[width] = fo
+            union = np.zeros(key_mat.shape[0], dtype=bool)
+            for fo in fo_by_width.values():
+                union |= fo
+            rows_keep = np.nonzero(union)[0]
             b_arr, data = b_arr[rows_keep], data[rows_keep]
-            masks = [m[rows_keep] for m in masks]
+            parser_masks = []
+            for p, m in zip(self._group_parsers[g], masks):
+                width = (
+                    key_mat.shape[1]
+                    if gspec.wants_r900
+                    else (p.cfg.packet_symbols + 7) >> 3
+                )
+                parser_masks.append(
+                    (m & fo_by_width[width])[rows_keep]
+                )
             if syms is not None:
                 syms = syms[rows_keep]
             group_parsed[g] = (
                 b_arr,
                 [
                     p.parse_batch(data, syms, valid=m)
-                    for p, m in zip(self._group_parsers[g], masks)
+                    for p, m in zip(self._group_parsers[g], parser_masks)
                 ],
             )
 

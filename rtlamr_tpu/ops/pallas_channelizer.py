@@ -47,7 +47,9 @@ LANES = 128
 #: output frame rows (of 128) per grid step. Small on purpose: the
 #: kernel keeps 2N branch accumulators plus shifted temporaries live, and
 #: Mosaic's scoped-VMEM stack is 16 MB — 512-row tiles measured 77 MB of
-#: stack; 64 rows fits with headroom.
+#: stack. 96 rows (~14.4 MB scaled) compiles and benches fine (808.1 MS/s
+#: full-band vs 802.8 at 64 rows); larger tiles need the stack pressure
+#: reduced first.
 TILE_ROWS = 96
 
 
