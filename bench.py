@@ -127,7 +127,13 @@ def main() -> None:
     spec = dec.spec
     geo = staged_geometry(spec)
     w = spec.window
-    n_windows = 8  # scan-batch size: one program + one fetch per 8 windows
+    # Scan-batch size: one program dispatch + ONE packed fetch per
+    # n_windows. The transport's fixed ~25 ms fetch round trip hides under
+    # the batch's device compute only when the batch is deep enough:
+    # measured (SCAN_K_PROBE) 733 MS/s at K=4, 1033 at K=8, 1191 at K=12,
+    # 1291 at K=16 — approaching the 1.32 GS/s ceiling of the 6.35
+    # ms/window scan program.
+    n_windows = 16
     iq = build_capture(dec.cfg, n_windows, w, spec.halo)
 
     if mode == "ingest":
