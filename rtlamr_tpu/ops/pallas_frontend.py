@@ -115,16 +115,28 @@ def _kernel(
     t = pl.program_id(0)
     tile = r_out * LANES  # output positions per tile
 
-    # DMA this tile's staged u16 span (row-aligned; overlapping tail re-read).
-    copy = pltpu.make_async_copy(
-        x_hbm.at[pl.ds(t * r_out, r_in)], x_vmem, sems.at[0]
-    )
-    copy.start()
-    copy.wait()
+    # Double-buffered DMA: tile t+1's staged span (row-aligned; overlapping
+    # tail re-read) streams in while tile t computes.
+    def cp(i, slot):
+        return pltpu.make_async_copy(
+            x_hbm.at[pl.ds(i * r_out, r_in)], x_vmem.at[slot], sems.at[slot]
+        )
+
+    slot = jax.lax.rem(t, 2)
+
+    @pl.when(t == 0)
+    def _():
+        cp(0, 0).start()
+
+    @pl.when(t + 1 < geo.n_tiles)
+    def _():
+        cp(t + 1, jax.lax.rem(t + 1, 2)).start()
+
+    cp(t, slot).wait()
 
     # Split the interleaved byte pair and square (decode.go:209-225, exact):
     # staged element = I | (Q << 8) little-endian.
-    v = x_vmem[:].astype(jnp.int32)
+    v = x_vmem[slot].astype(jnp.int32)
     di = 255 - 2 * (v & 255)
     dq = 255 - 2 * (v >> 8)
     mag = di * di + dq * dq
@@ -245,8 +257,8 @@ def frontend_pallas_staged(
             jax.ShapeDtypeStruct((out_rows, LANES), jnp.uint8),
         ],
         scratch_shapes=[
-            pltpu.VMEM((geo.r_in, LANES), jnp.uint16),
-            pltpu.SemaphoreType.DMA((1,)),
+            pltpu.VMEM((2, geo.r_in, LANES), jnp.uint16),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=_use_interpret(),
     )(first_arr, x2d)
