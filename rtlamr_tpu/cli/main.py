@@ -61,6 +61,16 @@ def build_filter_chain(fs: FlagSet) -> FilterChain:
     return fc
 
 
+def _wideband_mesh_shape(channels: int, n_devices: int) -> tuple:
+    """(cdev, tdev) for -channels -mesh: the largest channel-axis shard
+    count that divides both the channel count and the device count (channel
+    sharding is halo-free, so it is preferred), time shards on the rest."""
+    for cdev in range(min(channels, n_devices), 0, -1):
+        if channels % cdev == 0 and n_devices % cdev == 0:
+            return cdev, n_devices // cdev
+    return 1, n_devices
+
+
 class Receiver:
     """Receiver lifecycle (main.go:49-133) for live and offline sources."""
 
@@ -93,21 +103,42 @@ class Receiver:
         if self.wideband:
             # Wideband mode: one stream at channels*samplerate, channelized
             # on device and decoded per channel (parallel/wideband.py).
+            # With -mesh the 2-D (channel x time) WidebandMeshDecoder
+            # spreads the same program over all local chips; message
+            # streams are byte-identical to the single-chip path.
             if fs.value("mesh"):
-                _log("-mesh is ignored with -channels > 1 (the wideband "
-                     "program already fills the chip; use the library's "
-                     "WidebandMeshDecoder for multi-chip wideband)")
-            from ..parallel.wideband import WidebandDecoder
+                import jax
 
-            self.decoder = WidebandDecoder(
-                self.parsers,
-                n_channels=channels,
-                window_blocks=fs.value("windowblocks"),
-                max_hits=fs.value("maxhits"),
-                filter_fn=self.fc.match,
-                backend=fs.value("backend"),
-                cross_channel_dedup=fs.value("crosschanneldedup"),
-            )
+                from ..parallel.wideband_mesh import WidebandMeshDecoder
+
+                n_dev = len(jax.devices())
+                cdev, tdev = _wideband_mesh_shape(channels, n_dev)
+                _log(
+                    f"wideband mesh: {cdev} channel-shards x {tdev} "
+                    f"time-shards over {cdev * tdev} devices"
+                )
+                self.decoder = WidebandMeshDecoder(
+                    self.parsers,
+                    n_channels=channels,
+                    mesh_shape=(cdev, tdev),
+                    window_blocks=fs.value("windowblocks"),
+                    max_hits=fs.value("maxhits"),
+                    filter_fn=self.fc.match,
+                    backend=fs.value("backend"),
+                    cross_channel_dedup=fs.value("crosschanneldedup"),
+                )
+            else:
+                from ..parallel.wideband import WidebandDecoder
+
+                self.decoder = WidebandDecoder(
+                    self.parsers,
+                    n_channels=channels,
+                    window_blocks=fs.value("windowblocks"),
+                    max_hits=fs.value("maxhits"),
+                    filter_fn=self.fc.match,
+                    backend=fs.value("backend"),
+                    cross_channel_dedup=fs.value("crosschanneldedup"),
+                )
         else:
             decoder_cls = WindowDecoder
             if fs.value("mesh"):
@@ -257,8 +288,15 @@ def run_multihost(fs: FlagSet, out=sys.stdout) -> int:
     :class:`~rtlamr_tpu.parallel.distributed.MultiHostDecoder` (in-program
     ppermute halos, seam digest dedup — packets straddling host boundaries
     decode exactly once globally). Each process emits ITS windows' messages
-    on its own stdout; Offset/Length/-samplefile ring semantics do not
-    apply (no single process observes the whole stream).
+    on its own stdout. Offset/Length locate each message's reference block
+    directly in the -fromfile capture (offset = global block index *
+    block bytes; length = one block) — the seekable-source analog of the
+    reference's sample-dump coordinates (main.go:244-284,
+    protocol/parse.go:105-111). ``-duration`` and ``-single`` are honored
+    collectively: each super-batch, processes agree on stop via a tiny
+    allgather (any deadline hit, or the -single condition met globally).
+    ``-checkpoint`` resumes a pod decode: one file set per process
+    (suffix ``.pN``), written on interrupt and at end of a truncated run.
     """
     import os as _os
 
@@ -266,12 +304,9 @@ def run_multihost(fs: FlagSet, out=sys.stdout) -> int:
     if not fromfile or fromfile == "-":
         _log("-coordinator requires -fromfile (seekable capture)")
         raise SystemExit(1)
-    # Flags the multi-host batch path does not implement yet — say so
-    # loudly rather than dropping them silently.
-    unsupported = (
-        "checkpoint", "duration", "single", "samplefile", "channels",
-        "latency", "mesh",
-    )
+    # Flags the multi-host batch path does not implement — say so loudly
+    # rather than dropping them silently.
+    unsupported = ("samplefile", "channels", "latency", "mesh")
     for name in unsupported:
         if fs[name].set_explicitly:
             _log(f"-{name} is not supported in multi-host mode; ignoring")
@@ -312,34 +347,117 @@ def run_multihost(fs: FlagSet, out=sys.stdout) -> int:
     total_blocks = file_bytes // bs2
     batch_blocks = batch_bytes // bs2
 
+    single = fs.value("single")
+    waiting_ids = set(fs.value("filterid")) if single else set()
+    duration = fs.value("duration")
+    deadline = time.monotonic() + duration if duration > 0 else None
+    need_stop_sync = single or deadline is not None
+
+    j0 = 0
+    ckpt_path = fs.value("checkpoint")
+    if ckpt_path:
+        from ..decoder.checkpoint import (
+            MultiHostCheckpoint,
+            capture_checkpoint,
+            restore_checkpoint,
+        )
+
+        if _os.path.exists(f"{ckpt_path}.p{proc_id}.meta.json"):
+            ckpt = MultiHostCheckpoint.load(ckpt_path, proc_id)
+            restore_checkpoint(dec, ckpt)
+            j0 = ckpt.byte_offset // batch_bytes
+            _log(f"resumed from checkpoint at byte {ckpt.byte_offset}")
+
+    got_any = False  # -single without -filterid: any message stops the run
+
     def emit(msgs):
-        for _b, msg in msgs:
+        nonlocal got_any
+        for b, msg in msgs:
+            got_any = True
+            if waiting_ids:
+                waiting_ids.discard(msg.meter_id())
             encoder.encode(
                 LogMessage(
                     time=datetime.datetime.now(),
-                    offset=0,
-                    length=0,
+                    offset=b * bs2,
+                    length=bs2,
                     msg=msg,
                 )
             )
 
-    with open(fromfile, "rb") as f:
-        j = 0
-        while j * batch_bytes < total_blocks * bs2:
-            f.seek(j * batch_bytes + proc_id * lwb)
-            seg = np.frombuffer(f.read(lwb), np.uint8)
-            if seg.size < lwb:
-                pad = np.zeros(lwb, np.uint8)
-                pad[: seg.size] = seg
-                seg = pad
-            vb = min(total_blocks - j * batch_blocks, batch_blocks)
-            emit(
-                dec.decode_superbatch_local(
-                    seg, valid_blocks=vb if vb < batch_blocks else None
-                )
+    def agree_stop() -> bool:
+        """Collective stop decision (tiny allgather; all processes see the
+        same verdict, so nobody blocks in a later collective)."""
+        from jax.experimental import multihost_utils
+
+        if deadline is not None and time.monotonic() >= deadline:
+            local = True
+        elif single:
+            local = not waiting_ids if fs["filterid"].set_explicitly else got_any
+        else:
+            local = False
+        if num_procs == 1:
+            return local
+        votes = np.asarray(
+            multihost_utils.process_allgather(
+                np.array([1 if local else 0], np.int32)
             )
-            j += 1
-    emit(dec.drain())
+        )
+        if single and fs["filterid"].set_explicitly:
+            # The -filterid meters may report on different processes:
+            # gather which meters each process is still waiting for and
+            # keep only those NO process has seen.
+            ids = sorted(fs.value("filterid"))
+            seen = np.array(
+                [0 if i in waiting_ids else 1 for i in ids], np.int64
+            )
+            seen_all = np.asarray(
+                multihost_utils.process_allgather(seen)
+            ).max(axis=0)
+            waiting_ids.intersection_update(
+                i for i, s in zip(ids, seen_all) if not s
+            )
+            return bool(votes.any()) or not waiting_ids
+        return bool(votes.any())
+
+    stopped = False
+    interrupted = False
+    j = j0
+    try:
+        with open(fromfile, "rb") as f:
+            while j * batch_bytes < total_blocks * bs2:
+                f.seek(j * batch_bytes + proc_id * lwb)
+                seg = np.frombuffer(f.read(lwb), np.uint8)
+                if seg.size < lwb:
+                    pad = np.zeros(lwb, np.uint8)
+                    pad[: seg.size] = seg
+                    seg = pad
+                vb = min(total_blocks - j * batch_blocks, batch_blocks)
+                emit(
+                    dec.decode_superbatch_local(
+                        seg, valid_blocks=vb if vb < batch_blocks else None
+                    )
+                )
+                j += 1
+                if need_stop_sync and agree_stop():
+                    if deadline is not None and time.monotonic() >= deadline:
+                        _log("time limit reached")
+                    stopped = True
+                    break
+        # Complete the dispatch-ahead tail. After a -single stop the
+        # reference's receiver is already cancelled (main.go:270-276), so
+        # in-flight messages are not emitted.
+        tail = dec.drain()
+        if not (stopped and single):
+            emit(tail)
+    except KeyboardInterrupt:
+        interrupted = True
+        _log("interrupted")
+        emit(dec.drain())
+    if ckpt_path and (interrupted or stopped or j < -(-total_blocks // batch_blocks)):
+        boundary = min(j * batch_bytes, total_blocks * bs2)
+        capture_checkpoint(dec, boundary).save(ckpt_path)
+        _log(f"checkpoint saved at byte {boundary}")
     if fs.value("metrics"):
         _log("metrics:", dec._local.metrics.snapshot())
     return 0
@@ -416,7 +534,10 @@ def run(fs: FlagSet, out=sys.stdout) -> int:
         dumper,
         block_bytes,
         nch * dec.cfg.buffer_length * 2,
-        max_lag_blocks=2 * (dec.spec.window // dec.cfg.block_size)
+        # One decode step spans window_bytes (a super-batch for the
+        # wideband mesh); blocks are retained up to two steps of
+        # dispatch-ahead latency plus the ring capacity.
+        max_lag_blocks=2 * (dec.window_bytes // block_bytes)
         + ring_cap_blocks
         + 4,
     )

@@ -17,9 +17,16 @@ Three decoder families are covered:
 - :class:`~rtlamr_tpu.parallel.wideband.WidebandDecoder` — per-channel
   dedup states plus the channelizer filter history (``_wb_hist``) and the
   per-channel staged tails (``_chan_tail``).
+- :class:`~rtlamr_tpu.parallel.wideband_mesh.WidebandMeshDecoder` — same
+  checkpoint kind as the single-chip wideband path (the sharded carries are
+  host-materialized; the tail width is ``halo`` instead of ``halo_staged``).
+- :class:`~rtlamr_tpu.parallel.distributed.MultiHostDecoder` — one
+  checkpoint file set PER PROCESS (suffix ``.pN``): local carry rows, the
+  local dedup/parse state, and the cross-super-batch seam tail digests.
 
 ``capture_checkpoint`` / ``restore_checkpoint`` dispatch on decoder type;
-``load_checkpoint`` reads back whichever kind a file holds.
+``load_checkpoint`` reads back whichever single-file kind a path holds
+(multi-host files are per-process: ``MultiHostCheckpoint.load(path, pid)``).
 """
 
 from __future__ import annotations
@@ -140,6 +147,90 @@ class WidebandCheckpoint:
         )
 
 
+@dataclass
+class MultiHostCheckpoint:
+    """Per-process resume point of a MultiHostDecoder stream.
+
+    Every process saves its OWN file set (suffix ``.pN``) holding its local
+    carry rows and parse/dedup state; on resume each process loads its file
+    and the sharded carry is reassembled from process-local data — no
+    process ever holds global state (matching the decoder's design,
+    parallel/distributed.py).
+    """
+
+    byte_offset: int  # GLOBAL capture bytes consumed (super-batch granular)
+    window_index: int
+    first: bool
+    last_block: int
+    carry_local: Optional[np.ndarray]  # (n_local, halo) u16 local carry rows
+    prev_digests: List[Tuple]
+    #: (block, [8-byte digest hashes]) of the global stream tail block —
+    #: the cross-super-batch seam dedup state (distributed.py _seam_dedup).
+    prev_batch_tail: Optional[Tuple[int, List[bytes]]]
+    num_processes: int
+    process_id: int
+    n_global: int
+    scan_windows: int
+    window: int
+
+    def _paths(self, path: str) -> Tuple[str, str]:
+        base = f"{path}.p{self.process_id}"
+        return base + ".meta.json", base + ".carry.bin"
+
+    def save(self, path: str) -> None:
+        meta_path, carry_path = self._paths(path)
+        tail = self.prev_batch_tail
+        meta = {
+            "kind": "multihost",
+            "byte_offset": self.byte_offset,
+            "window_index": self.window_index,
+            "first": self.first,
+            "last_block": self.last_block,
+            "prev_digests": _ser_digests(self.prev_digests),
+            "prev_batch_tail": (
+                None if tail is None else [tail[0], [h.hex() for h in tail[1]]]
+            ),
+            "num_processes": self.num_processes,
+            "process_id": self.process_id,
+            "n_global": self.n_global,
+            "scan_windows": self.scan_windows,
+            "window": self.window,
+            "has_carry": self.carry_local is not None,
+        }
+        with open(meta_path, "w") as f:
+            json.dump(meta, f)
+        if self.carry_local is not None:
+            self.carry_local.tofile(carry_path)
+
+    @classmethod
+    def load(cls, path: str, process_id: int) -> "MultiHostCheckpoint":
+        base = f"{path}.p{process_id}"
+        with open(base + ".meta.json") as f:
+            meta = json.load(f)
+        tail = meta["prev_batch_tail"]
+        carry = None
+        if meta["has_carry"]:
+            carry = np.fromfile(base + ".carry.bin", dtype=np.uint16)
+        return cls(
+            byte_offset=meta["byte_offset"],
+            window_index=meta["window_index"],
+            first=meta["first"],
+            last_block=meta["last_block"],
+            carry_local=carry,
+            prev_digests=_de_digests(meta["prev_digests"]),
+            prev_batch_tail=(
+                None
+                if tail is None
+                else (tail[0], [bytes.fromhex(h) for h in tail[1]])
+            ),
+            num_processes=meta["num_processes"],
+            process_id=meta["process_id"],
+            n_global=meta["n_global"],
+            scan_windows=meta["scan_windows"],
+            window=meta["window"],
+        )
+
+
 def load_checkpoint(path: str):
     """Load whichever checkpoint kind ``path`` holds."""
     with open(path + ".meta.json") as f:
@@ -164,9 +255,14 @@ def _require_boundary(dec) -> None:
 
 def capture_checkpoint(dec, byte_offset: int):
     """Snapshot a decoder at a window boundary (no pending bytes)."""
+    from ..parallel.distributed import MultiHostDecoder
     from ..parallel.wideband import WidebandDecoder
+    from ..parallel.wideband_mesh import WidebandMeshDecoder
 
-    if isinstance(dec, WidebandDecoder):
+    if isinstance(dec, (WidebandDecoder, WidebandMeshDecoder)):
+        # Same checkpoint kind for both wideband execution layouts; the
+        # carried tail width differs ((N, halo_staged) single-chip vs
+        # (N, halo) mesh) and restore validates it against the decoder.
         _require_boundary(dec)
         return WidebandCheckpoint(
             byte_offset=byte_offset,
@@ -181,6 +277,37 @@ def capture_checkpoint(dec, byte_offset: int):
             xchan_seen=[
                 (tuple(d), b, c) for d, (b, c) in dec._xchan.seen.items()
             ],
+        )
+    if isinstance(dec, MultiHostDecoder):
+        if dec._inflight is not None:
+            raise ValueError(
+                "checkpoint with an undrained super-batch in flight; call "
+                "drain() and emit its messages first"
+            )
+        carry_local = None
+        if dec._carry is not None:
+            halo = dec.spec.halo
+            base = dec.process_id * dec.n_local
+            carry_local = np.zeros((dec.n_local, halo), np.uint16)
+            for sh in dec._carry.addressable_shards:
+                r = (sh.index[0].start or 0) - base
+                carry_local[r] = np.asarray(sh.data).reshape(-1, halo)[0]
+        tail = dec._prev_batch_tail
+        return MultiHostCheckpoint(
+            byte_offset=byte_offset,
+            window_index=dec._window_index,
+            first=dec._first,
+            last_block=dec._local._last_block,
+            carry_local=carry_local,
+            prev_digests=[tuple(d) for d in dec._local._deduper.prev],
+            prev_batch_tail=(
+                None if tail is None else (tail[0], sorted(tail[1]))
+            ),
+            num_processes=dec.num_processes,
+            process_id=dec.process_id,
+            n_global=dec.n_global,
+            scan_windows=dec.scan_windows,
+            window=dec.spec.window,
         )
     _require_boundary(dec)
     carry = np.asarray(dec._carry, np.uint16)
@@ -199,28 +326,65 @@ def capture_checkpoint(dec, byte_offset: int):
 
 def restore_checkpoint(dec, ckpt) -> None:
     """Restore a decoder to a checkpoint; decode continues bit-identically."""
+    from ..parallel.distributed import MultiHostDecoder
     from ..parallel.wideband import WidebandDecoder
+    from ..parallel.wideband_mesh import WidebandMeshDecoder
 
-    if isinstance(ckpt, WidebandCheckpoint) != isinstance(
-        dec, WidebandDecoder
+    if isinstance(ckpt, MultiHostCheckpoint) != isinstance(
+        dec, MultiHostDecoder
+    ) or isinstance(ckpt, WidebandCheckpoint) != isinstance(
+        dec, (WidebandDecoder, WidebandMeshDecoder)
     ):
         raise ValueError(
             f"checkpoint kind mismatch: {type(ckpt).__name__} cannot "
             f"restore a {type(dec).__name__}"
         )
     dec.reset()
+    if isinstance(ckpt, MultiHostCheckpoint):
+        import jax
+
+        if (
+            ckpt.num_processes != dec.num_processes
+            or ckpt.n_global != dec.n_global
+            or ckpt.process_id != dec.process_id
+            or ckpt.scan_windows != dec.scan_windows
+            or ckpt.window != dec.spec.window
+        ):
+            raise ValueError(
+                "checkpoint topology mismatch: saved for "
+                f"{ckpt.num_processes} procs x {ckpt.n_global} devices "
+                f"(proc {ckpt.process_id}, K={ckpt.scan_windows}, "
+                f"window={ckpt.window}), decoder is "
+                f"{dec.num_processes} x {dec.n_global} (proc "
+                f"{dec.process_id}, K={dec.scan_windows}, "
+                f"window={dec.spec.window})"
+            )
+        dec._window_index = ckpt.window_index
+        dec._first = ckpt.first
+        dec._local._last_block = ckpt.last_block
+        dec._local._deduper.prev = {Digest(*d) for d in ckpt.prev_digests}
+        tail = ckpt.prev_batch_tail
+        dec._prev_batch_tail = None if tail is None else (tail[0], set(tail[1]))
+        if ckpt.carry_local is not None:
+            rows = ckpt.carry_local.reshape(dec.n_local, dec.spec.halo)
+            dec._carry = jax.make_array_from_process_local_data(
+                dec._carry_sharding, rows, (dec.n_global, dec.spec.halo)
+            )
+        return
     if isinstance(ckpt, WidebandCheckpoint):
         import jax.numpy as jnp
 
         n = dec.n_channels
-        if ckpt.chan_tail.shape != (n, dec.spec.halo_staged) or len(
+        is_mesh = isinstance(dec, WidebandMeshDecoder)
+        tail_width = dec.spec.halo if is_mesh else dec.spec.halo_staged
+        if ckpt.chan_tail.shape != (n, tail_width) or len(
             ckpt.chan_last_block
         ) != n:
             raise ValueError(
                 "checkpoint geometry mismatch: saved for "
                 f"{ckpt.chan_tail.shape[0]} channels x "
                 f"{ckpt.chan_tail.shape[1]} tail samples, decoder wants "
-                f"({n}, {dec.spec.halo_staged})"
+                f"({n}, {tail_width})"
             )
         want_hist = np.asarray(dec._wb_hist).shape
         if ckpt.wb_hist.shape != want_hist:
@@ -231,8 +395,18 @@ def restore_checkpoint(dec, ckpt) -> None:
             )
         dec._window_index = ckpt.window_index
         dec._first = ckpt.first
-        dec._wb_hist = jnp.asarray(ckpt.wb_hist, jnp.float32)
-        dec._chan_tail = jnp.asarray(ckpt.chan_tail, jnp.uint16)
+        if is_mesh:
+            import jax
+
+            dec._wb_hist = jax.device_put(
+                ckpt.wb_hist.astype(np.float32), dec._replicated
+            )
+            dec._chan_tail = jax.device_put(
+                ckpt.chan_tail.astype(np.uint16), dec._tail_sharding
+            )
+        else:
+            dec._wb_hist = jnp.asarray(ckpt.wb_hist, jnp.float32)
+            dec._chan_tail = jnp.asarray(ckpt.chan_tail, jnp.uint16)
         for c, chan in enumerate(dec._chan):
             chan._last_block = ckpt.chan_last_block[c]
             chan._deduper.prev = {

@@ -372,6 +372,9 @@ class WindowDecoder:
                 self.spec,
                 max_hits=min(4096, w),
                 gather_hits=gather,
+                # Slice capacity == gather capacity: the pre-slice plateau
+                # collapse can't overflow in the escalation variant.
+                slice_hits=gather,
                 # Row capacity == gather capacity: a row overflow here
                 # implies >gather raw hits, so the same overflow check
                 # falls through to the exact host path.
@@ -469,16 +472,21 @@ class WindowDecoder:
                 }
             )
             fo_by_width: Dict[int, np.ndarray] = {}
+            n_cand = key_mat.shape[0]
+            b_bytes = b_arr.astype("<u4")[:, None].view(np.uint8)
             for width in widths:
-                key_ids = np.empty(key_mat.shape[0], np.int64)
-                seen: Dict[bytes, int] = {}
-                for i in range(key_mat.shape[0]):
-                    key_ids[i] = seen.setdefault(
-                        key_mat[i, :width].tobytes(), len(seen)
-                    )
-                composite = b_arr.astype(np.int64) * len(seen) + key_ids
-                fo = np.zeros(key_mat.shape[0], dtype=bool)
-                fo[np.unique(composite, return_index=True)[1]] = True
+                # Vectorized (block, key-row) first-occurrence mask: prepend
+                # the block index bytes to each key row and dedup the raw
+                # records as fixed-size void scalars — np.unique's
+                # return_index is documented to give FIRST occurrences, so
+                # ascending order (the reference's seen-map semantics,
+                # scm/scm.go:62-74) is preserved with no per-row Python.
+                rec = np.ascontiguousarray(
+                    np.concatenate([b_bytes, key_mat[:, :width]], axis=1)
+                )
+                v = rec.view(f"V{rec.shape[1]}").ravel()
+                fo = np.zeros(n_cand, dtype=bool)
+                fo[np.unique(v, return_index=True)[1]] = True
                 fo_by_width[width] = fo
             union = np.zeros(key_mat.shape[0], dtype=bool)
             for fo in fo_by_width.values():

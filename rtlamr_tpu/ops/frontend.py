@@ -102,6 +102,13 @@ class FrontendSpec:
     #: nonzero only over those gathered rows. Windows touching more rows than
     #: this escalate exactly like gather_hits overflow.
     gather_rows: int = 1024
+    #: capacity of the expensive per-candidate content gathers (packed bytes
+    #: / R900 symbols). Raw hits are first collapsed by the exact pre-slice
+    #: plateau test (see :func:`_edge_group_cumsum`) — adjacent hits with
+    #: PROVEN identical content keep only their first position — so the
+    #: content gathers, checksum gates and output compaction all run at this
+    #: much smaller capacity. Overflow escalates exactly like gather_hits.
+    slice_hits: int = 512
     #: rows (of 128 samples) per Pallas tile; also fixes the staged-buffer
     #: geometry shared by both backends (see :func:`staged_geometry`).
     tile_rows: int = 1024
@@ -266,6 +273,13 @@ def make_frontend_spec(
         # (whether slots are used or not), so keep it tight; overflow
         # escalates to a larger program variant, then to the exact host path.
         gather_hits=gather_hits,
+        # Post-collapse content-gather capacity. Occupancy after the exact
+        # plateau collapse is the number of DISTINCT candidate contents per
+        # group per window (measured <=160 at the all-protocol bench
+        # density, vs ~1400 raw plateau hits), so max_hits+128 leaves >2x
+        # margin while cutting the dominant gather cost ~5x vs gathering at
+        # gather_hits; overflow escalates exactly.
+        slice_hits=min(max(max_hits + 128, 384), gather_hits),
         # Preamble plateaus cluster in few 128-sample rows (~2 rows per
         # packet; 180-197 rows at the 51-msg/window bench density), so row
         # capacity can sit well under gather_hits — but with 2x margin
@@ -464,16 +478,17 @@ def _strided_rows(
 
 
 def _packed_strided_matrix(
-    stream: jnp.ndarray, stride: int, max_bytes: int
+    stream: jnp.ndarray, stride: int, max_bytes: int, mat=None
 ) -> jnp.ndarray:
     """P8[r, c] = MSB-first byte of stream[(c+k)*stride + r], k<8.
 
     Dense byte pre-pack of the strided matrix (VPU shifts over contiguous
     rows — nearly free). Packet byte b of a hit at (r, c0) is P8[r, c0+8b],
     so the per-hit gather moves nbytes packed bytes instead of 8*nbytes
-    raw bits.
+    raw bits. Pass ``mat`` to reuse a prebuilt strided matrix.
     """
-    mat = _strided_matrix(stream, stride, 8 * max_bytes + 8)  # (stride, C)
+    if mat is None:
+        mat = _strided_matrix(stream, stride, 8 * max_bytes + 8)  # (stride, C)
     c = mat.shape[1]
     c8 = -(-c // 8) * 8
     pad = jnp.zeros((mat.shape[0], c8 + 8), mat.dtype)
@@ -623,6 +638,78 @@ def _compact_true_positions(
     return jnp.where(pos < n, pos, fill)
 
 
+class _EdgeIndex(NamedTuple):
+    """Prefix-sum index of phase-adjacent content edges in a strided matrix.
+
+    For a (stride, C) strided matrix M (Manchester bits at stride SL, or
+    R900 symbols at stride 4CL), D[r, c] = (M[r, c] != M[r+1, c]) marks a
+    content edge between sample phases r and r+1 at slot c. The exact prefix
+    ``P[r, c] = sum(D[r, :c])`` is stored two-level so it never materializes
+    at full int32 resolution: ``csg8[r, g] = sum(D[r, :8g])`` (int32) plus
+    the within-group exclusive prefix ``wexc[r, c] = sum(D[r, 8*(c//8):c])``
+    (u8, values 0..7). A span [a, b) has no edge iff P[b] == P[a] — four
+    small gathers per candidate.
+
+    The last phase row (whose +1 neighbor wraps to phase 0 one slot later)
+    is treated as all-edges: hits there never collapse — conservative and
+    correct, splitting at most one plateau per stride period in two.
+    """
+
+    csg8: jnp.ndarray  # (stride, C8//8 + 1) int32
+    wexc: jnp.ndarray  # (stride, C8) uint8
+
+
+def _edge_index(mat: jnp.ndarray) -> _EdgeIndex:
+    stride, c = mat.shape
+    c8 = _round_up(c, 8) + 8  # margin so c0+n queries stay in bounds
+    mat = jnp.concatenate(
+        [mat, jnp.zeros((stride, c8 - c), mat.dtype)], axis=1
+    )
+    nxt = jnp.concatenate([mat[1:], mat[:1]], axis=0)
+    d = (mat != nxt).astype(jnp.uint8)
+    row = jax.lax.broadcasted_iota(jnp.int32, d.shape, 0)
+    d = jnp.where(row == stride - 1, jnp.uint8(1), d)
+    # Group-of-8 column sums via strided slices (cheaper on TPU than the
+    # (stride, C8/8, 8) reshape, whose minor-8 axis forces a relayout).
+    dg = d[:, 0::8].astype(jnp.int32)
+    for j in range(1, 8):
+        dg = dg + d[:, j::8]
+    csg8 = jnp.concatenate(
+        [jnp.zeros((stride, 1), jnp.int32), jnp.cumsum(dg, axis=1)], axis=1
+    )
+    # Within-group inclusive prefix via 3 masked shifted adds, then
+    # subtract D for the exclusive form (max value 7 — u8 is exact).
+    col8 = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1) % 8
+    x = d
+    for s in (1, 2, 4):
+        shifted = jnp.pad(x, ((0, 0), (s, 0)))[:, :-s]
+        x = x + jnp.where(col8 >= s, shifted, 0).astype(jnp.uint8)
+    return _EdgeIndex(csg8=csg8, wexc=x - d)
+
+
+def _no_edge_in_span(
+    idx: _EdgeIndex, p: jnp.ndarray, stride: int, n_items: int
+) -> jnp.ndarray:
+    """True iff no phase-adjacent edge exists at any strided read of a
+    candidate starting at stream position ``p`` — i.e. the sliced content
+    at ``p`` and ``p+1`` is PROVEN identical. The candidate reads columns
+    [p//stride, p//stride + n_items) of phase row p%stride."""
+    r = (p % stride).astype(jnp.int32)
+    c0 = (p // stride).astype(jnp.int32)
+    c1 = c0 + n_items
+    gcols = idx.csg8.shape[1]
+    wcols = idx.wexc.shape[1]
+    gflat = idx.csg8.reshape(-1)
+    wflat = idx.wexc.reshape(-1).astype(jnp.int32)
+    p_lo = jnp.take(gflat, r * gcols + (c0 >> 3)) + jnp.take(
+        wflat, r * wcols + c0
+    )
+    p_hi = jnp.take(gflat, r * gcols + (c1 >> 3)) + jnp.take(
+        wflat, r * wcols + c1
+    )
+    return p_hi == p_lo
+
+
 def search_slice(spec: FrontendSpec, bits: jnp.ndarray, q6, mask2d):
     """Hit compaction and packet slicing over the quantized streams.
 
@@ -664,7 +751,8 @@ def search_slice(spec: FrontendSpec, bits: jnp.ndarray, q6, mask2d):
     # R900 groups slice ``q6`` at 4*CL); built once, pre-packed to bytes so
     # the per-hit gather moves nbytes instead of 8*nbytes elements.
     max_bytes = max((g.packet_symbols + 7) >> 3 for g in spec.groups)
-    pack_mat = _packed_strided_matrix(bits, sl, max_bytes)
+    bit_mat = _strided_matrix(bits, sl, 8 * max_bytes + 8)
+    pack_mat = _packed_strided_matrix(bits, sl, max_bytes, mat=bit_mat)
     q6_mat = (
         _strided_matrix(q6, 4 * cl, PAYLOAD_SYMBOLS)
         if spec.wants_r900
@@ -689,6 +777,15 @@ def search_slice(spec: FrontendSpec, bits: jnp.ndarray, q6, mask2d):
     total_any = jnp.sum((mask2d != 0).astype(jnp.int32))
     any_overflow = jnp.logical_or(rows_overflow, total_any > k_any)
 
+    # Edge prefix sums supporting the exact pre-slice plateau collapse: two
+    # consecutive search positions slice identical content iff no
+    # sample-adjacent bit (symbol) edge exists at any of their strided read
+    # positions — a 2-gather range query per candidate, evaluated BEFORE the
+    # expensive content gathers so those run at slice_hits capacity.
+    k_slice = min(spec.slice_hits, k_gather)
+    bits_edge = _edge_index(bit_mat)
+    q6_edge = _edge_index(q6_mat) if spec.wants_r900 else None
+
     for g, group in enumerate(spec.groups):
         raw_count = jnp.sum(
             (mask2d >> g) & 1, dtype=jnp.int32
@@ -709,12 +806,54 @@ def search_slice(spec: FrontendSpec, bits: jnp.ndarray, q6, mask2d):
             jnp.int32
         )
         valid = jnp.logical_and(gvalid, hit_idx < w)
-        safe_idx = jnp.where(valid, hit_idx, 0)
+
+        s_g = group.packet_symbols
+        nbytes = (s_g + 7) >> 3
+
+        # Pre-slice plateau collapse: drop a hit at q when the previous hit
+        # sits at q-1 in the same block AND the edge query PROVES their
+        # sliced contents identical (the host parsers' per-block seen maps
+        # would drop the duplicate anyway, scm/scm.go:62-74). Conservative:
+        # unproven equality keeps the candidate; overflow past slice_hits
+        # escalates exactly like a gather overflow.
+        prev_q = jnp.maximum(hit_idx - 1, 0)
+        if group.wants_r900:
+            eq = _no_edge_in_span(
+                q6_edge,
+                prev_q + (spec.preamble_length - sl),
+                4 * cl,
+                PAYLOAD_SYMBOLS,
+            )
+        else:
+            eq = _no_edge_in_span(bits_edge, prev_q, sl, s_g)
+        adj = jnp.concatenate(
+            [jnp.zeros(1, jnp.bool_), hit_idx[1:] == hit_idx[:-1] + 1]
+        )
+        sameblk = jnp.concatenate(
+            [
+                jnp.zeros(1, jnp.bool_),
+                hit_idx[1:] // spec.block_size
+                == hit_idx[:-1] // spec.block_size,
+            ]
+        )
+        pre_keep = jnp.logical_and(
+            valid, jnp.logical_not(adj & sameblk & eq)
+        )
+        pre_count = jnp.sum(pre_keep, dtype=jnp.int32)
+        raw_count = jnp.where(
+            pre_count > k_slice, jnp.int32(k_gather + 1), raw_count
+        )
+        s_pos = _compact_true_positions(pre_keep, k_slice, k_gather)
+        s_valid = s_pos < k_gather
+        safe_s = jnp.where(s_valid, s_pos, 0).astype(jnp.int32)
+        slice_idx = jnp.where(
+            s_valid, jnp.take(hit_idx, safe_s), w
+        ).astype(jnp.int32)
+        valid = jnp.logical_and(s_valid, slice_idx < w)
+        safe_idx = jnp.where(valid, slice_idx, 0)
 
         # Bit slice at stride SL (decode.go:353-375), gathered as pre-packed
         # MSB-first bytes; mask the stray low bits of a partial final byte.
-        s_g = group.packet_symbols
-        nbytes = (s_g + 7) >> 3
         s_pad = nbytes * 8
         packed = _packed_rows_from(pack_mat, safe_idx, sl, nbytes)
         if s_g != s_pad:
@@ -741,11 +880,9 @@ def search_slice(spec: FrontendSpec, bits: jnp.ndarray, q6, mask2d):
                 valid, _device_valid_mask(group, packed, syms)
             )
 
-        # Collapse same-block ADJACENT duplicates: preamble-hit plateaus
-        # slice identical packets which the host parsers' per-block seen
-        # maps would drop anyway (scm/scm.go:62-74); dropping them here is
-        # semantics-free and shrinks the result buffer. Key: the candidate
-        # content each parser in the group reads.
+        # Collapse remaining same-block duplicates by gathered content
+        # (consecutive survivors may still carry identical packets — e.g.
+        # two plateaus of the same transmission within one block).
         key = syms if group.wants_r900 else packed
         block_of = safe_idx // spec.block_size
         same_prev = jnp.all(key[1:] == key[:-1], axis=-1)
@@ -753,11 +890,11 @@ def search_slice(spec: FrontendSpec, bits: jnp.ndarray, q6, mask2d):
         dup = jnp.concatenate([jnp.zeros(1, jnp.bool_), same_prev])
         keep = jnp.logical_and(valid, jnp.logical_not(dup))
         unique_count = jnp.sum(keep, dtype=jnp.int32)
-        u_pos = _compact_true_positions(keep, k_cap, k_gather)
-        safe_pos = jnp.where(u_pos < k_gather, u_pos, 0).astype(jnp.int32)
+        u_pos = _compact_true_positions(keep, k_cap, k_slice)
+        safe_pos = jnp.where(u_pos < k_slice, u_pos, 0).astype(jnp.int32)
 
         counts.append(jnp.stack([raw_count, unique_count]))
-        out_idx = jnp.where(u_pos < k_gather, jnp.take(hit_idx, safe_pos), w)
+        out_idx = jnp.where(u_pos < k_slice, jnp.take(slice_idx, safe_pos), w)
         idxs.append(out_idx.astype(jnp.int32))
         byte_mats.append(jnp.take(packed, safe_pos, axis=0))
         if group.wants_r900:

@@ -225,6 +225,12 @@ class WidebandMeshDecoder:
         self._first = True
         self._window_index = 0
         self._xchan = CrossChannelDeduper()
+        self._plist: List[np.ndarray] = []
+        self._psize = 0
+        #: super-batches complete synchronously (one fetch per batch), so
+        #: there is never an undrained dispatch; kept for the checkpoint
+        #: boundary check shared with the other decoders.
+        self._inflight = None
 
     @property
     def n_channels(self) -> int:
@@ -240,6 +246,87 @@ class WidebandMeshDecoder:
             * self.tdev
             * self.scan_windows
         )
+
+    @property
+    def wideband_sample_rate(self) -> int:
+        return self.chspec.n_channels * self.cfg.sample_rate
+
+    def channel_center_freqs(self, wide_center_hz: int) -> np.ndarray:
+        """Absolute RF center frequency of each channel (misc/modes.go)."""
+        from ..ops.channelizer import channel_offsets_hz
+
+        return wide_center_hz + channel_offsets_hz(
+            self.chspec, self.cfg.sample_rate
+        )
+
+    # -- streaming (same surface as WidebandDecoder, super-batch granular) --
+
+    @property
+    def window_bytes(self) -> int:
+        """Wideband bytes consumed per decode step (one super-batch)."""
+        return self.superbatch_bytes
+
+    @property
+    def _pending(self) -> np.ndarray:
+        if not self._plist:
+            return np.zeros(0, np.uint8)
+        if len(self._plist) > 1:
+            self._plist = [np.concatenate(self._plist)]
+        return self._plist[0]
+
+    @_pending.setter
+    def _pending(self, value: np.ndarray) -> None:
+        value = np.asarray(value, np.uint8)
+        self._plist = [value] if value.size else []
+        self._psize = int(value.size)
+
+    def feed(self, wb_bytes: np.ndarray) -> List[Tuple[int, int, Message]]:
+        """Feed wideband IQ bytes; returns (channel, block, message).
+
+        The chunk is retained by reference until decoded — callers must not
+        mutate a passed buffer after the call (same contract as
+        WidebandDecoder.feed)."""
+        chunk = np.asarray(wb_bytes, np.uint8)
+        if chunk.size:
+            self._plist.append(chunk)
+            self._psize += int(chunk.size)
+        out: List[Tuple[int, int, Message]] = []
+        sb = self.superbatch_bytes
+        if self._psize >= sb:
+            buf = self._pending
+            n_sb = buf.size // sb
+            for i in range(n_sb):
+                out.extend(self.decode_superbatch(buf[i * sb : (i + 1) * sb]))
+            self._pending = buf[n_sb * sb :]
+        return out
+
+    def flush(self) -> List[Tuple[int, int, Message]]:
+        """Zero-pad and decode remaining full per-channel blocks."""
+        bs_wide = 2 * self.chspec.n_channels * self.cfg.block_size
+        full_blocks = self._pending.size // bs_wide
+        out: List[Tuple[int, int, Message]] = []
+        if full_blocks:
+            valid = self._pending[: full_blocks * bs_wide]
+            self._pending = self._pending[full_blocks * bs_wide :]
+            padded = np.zeros(self.superbatch_bytes, np.uint8)
+            padded[: valid.size] = valid
+            out.extend(
+                self.decode_superbatch(padded, valid_blocks=full_blocks)
+            )
+        return out
+
+    def drain(self) -> List[Tuple[int, int, Message]]:
+        """Super-batches complete synchronously; nothing to drain."""
+        return []
+
+    def metrics_snapshot(self) -> dict:
+        """Aggregated counters across channels."""
+        agg: dict = {}
+        for c in self._chan:
+            for k, v in c.metrics.snapshot().items():
+                if isinstance(v, (int, float)):
+                    agg[k] = agg.get(k, 0) + v
+        return agg
 
     def decode_superbatch(
         self, wb_bytes: np.ndarray, valid_blocks: Optional[int] = None

@@ -10,6 +10,7 @@ intervals starting at bit 264. Messages with serial number 0 are dropped.
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass
 from typing import List, Sequence
 
@@ -236,39 +237,58 @@ class IDMParser(Parser):
             out.append(msg)
         return out
 
-    def _extract_row(self, data_row: np.ndarray, bits_row: np.ndarray,
-                     intervals_row: np.ndarray) -> Message:
-        """One message from precomputed row slices (vectorized path)."""
-        b = bytes(data_row[:PACKET_BYTES])
-        return IDM(
-            Preamble=int.from_bytes(b[0:4], "big"),
-            PacketTypeID=b[4],
-            PacketLength=b[5],
-            HammingCode=b[6],
-            ApplicationVersion=b[7],
-            ERTType=b[8] & 0x0F,
-            ERTSerialNumber=int.from_bytes(b[9:13], "big"),
-            ConsumptionIntervalCount=b[13],
-            ModuleProgrammingState=b[14],
-            TamperCounters=b[15:21],
-            AsynchronousCounters=int.from_bytes(b[21:23], "big"),
-            PowerOutageFlags=b[23:29],
-            LastConsumptionCount=int.from_bytes(b[29:33], "big"),
-            DifferentialConsumptionIntervals=tuple(
-                int(v) for v in intervals_row
-            ),
-            TransmitTimeOffset=int.from_bytes(b[86:88], "big"),
-            SerialNumberCRC=int.from_bytes(b[88:90], "big"),
-            PacketCRC=int.from_bytes(b[90:92], "big"),
-        )
-
     #: (start, width, count) of the strided interval fields (idm.go:136-141)
     _INTERVALS = (264, 9, 47)
 
+    @staticmethod
+    def _be_cols(d64: np.ndarray, a: int, b: int) -> list:
+        """Big-endian int column over bytes [a:b), as a Python-int list."""
+        v = d64[:, a]
+        for c in range(a + 1, b):
+            v = (v << 8) | d64[:, c]
+        return v.tolist()
+
+    def _build_rows(self, rows, d, intervals):
+        """Per-row message construction from whole-column Python lists
+        (one ``tolist()`` per field instead of per-row int conversions)."""
+        be = functools.partial(self._be_cols, d.astype(np.int64))
+        pre, sn = be(0, 4), be(9, 13)
+        ac, lcc = be(21, 23), be(29, 33)
+        tto, scrc, pcrc = be(86, 88), be(88, 90), be(90, 92)
+        ptid, plen = d[:, 4].tolist(), d[:, 5].tolist()
+        ham, av = d[:, 6].tolist(), d[:, 7].tolist()
+        ert = (d[:, 8] & 0x0F).tolist()
+        cic, mps = d[:, 13].tolist(), d[:, 14].tolist()
+        tamper = d[:, 15:21].tobytes()
+        outage = d[:, 23:29].tobytes()
+        ivals = intervals.tolist()
+        out = {}
+        for j, r in enumerate(rows.tolist()):
+            out[r] = IDM(
+                Preamble=pre[j],
+                PacketTypeID=ptid[j],
+                PacketLength=plen[j],
+                HammingCode=ham[j],
+                ApplicationVersion=av[j],
+                ERTType=ert[j],
+                ERTSerialNumber=sn[j],
+                ConsumptionIntervalCount=cic[j],
+                ModuleProgrammingState=mps[j],
+                TamperCounters=tamper[6 * j : 6 * j + 6],
+                AsynchronousCounters=ac[j],
+                PowerOutageFlags=outage[6 * j : 6 * j + 6],
+                LastConsumptionCount=lcc[j],
+                DifferentialConsumptionIntervals=tuple(ivals[j]),
+                TransmitTimeOffset=tto[j],
+                SerialNumberCRC=scrc[j],
+                PacketCRC=pcrc[j],
+            )
+        return out
+
     def parse_batch(self, data, syms, valid=None):
         """Whole-window vectorized parse: batched dual CRC + batched
-        interval extraction; per-row byte reads only for emitted rows
-        (idm/idm.go:61-148)."""
+        interval extraction + whole-column field extraction; the only
+        per-row work is the emitted dataclass (idm/idm.go:61-148)."""
         from ..utils.bits import bitfields_strided_rows
 
         ok = valid if valid is not None else self.valid_mask(data, None)
@@ -277,13 +297,11 @@ class IDMParser(Parser):
         rows = np.nonzero(ok & serial_nz)[0]
         if rows.size == 0:
             return {}
-        bits = np.unpackbits(data[rows], axis=1)
+        d = data[rows]
+        bits = np.unpackbits(d, axis=1)
         start, width, count = self._INTERVALS
         intervals = bitfields_strided_rows(bits, start, width, count)
-        out = {}
-        for j, r in enumerate(rows):
-            out[int(r)] = self._extract_row(data[r], bits[j], intervals[j])
-        return out
+        return self._build_rows(rows, d, intervals)
 
 
 register_parser("idm", IDMParser)

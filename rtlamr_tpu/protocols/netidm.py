@@ -178,29 +178,41 @@ class NetIDMParser(IDMParser):
     #: 27x14-bit intervals from bit 304 (netidm.go:148-154)
     _INTERVALS = (304, 14, 27)
 
-    def _extract_row(self, data_row: np.ndarray, bits_row: np.ndarray,
-                     intervals_row: np.ndarray) -> Message:
-        b = bytes(data_row[:PACKET_BYTES])
-        return NetIDM(
-            Preamble=int.from_bytes(b[0:4], "big"),
-            ProtocolID=b[4],
-            PacketLength=b[5],
-            HammingCode=b[6],
-            ApplicationVersion=b[7],
-            ERTType=b[8] & 0x0F,
-            ERTSerialNumber=int.from_bytes(b[9:13], "big"),
-            ConsumptionIntervalCount=b[13],
-            ProgrammingState=b[14],
-            LastConsumption=int.from_bytes(b[25:28], "big"),
-            LastGeneration=int.from_bytes(b[28:31], "big"),
-            LastConsumptionNet=int.from_bytes(b[34:38], "big"),
-            DifferentialConsumptionIntervals=tuple(
-                int(v) for v in intervals_row
-            ),
-            TransmitTimeOffset=int.from_bytes(b[86:88], "big"),
-            SerialNumberCRC=int.from_bytes(b[88:90], "big"),
-            PacketCRC=int.from_bytes(b[90:92], "big"),
-        )
+    def _build_rows(self, rows, d, intervals):
+        """Per-row message construction from whole-column Python lists
+        (netidm/netidm.go:133-161)."""
+        import functools
+
+        be = functools.partial(self._be_cols, d.astype(np.int64))
+        pre, sn = be(0, 4), be(9, 13)
+        lc, lg, lcn = be(25, 28), be(28, 31), be(34, 38)
+        tto, scrc, pcrc = be(86, 88), be(88, 90), be(90, 92)
+        pid, plen = d[:, 4].tolist(), d[:, 5].tolist()
+        ham, av = d[:, 6].tolist(), d[:, 7].tolist()
+        ert = (d[:, 8] & 0x0F).tolist()
+        cic, ps = d[:, 13].tolist(), d[:, 14].tolist()
+        ivals = intervals.tolist()
+        out = {}
+        for j, r in enumerate(rows.tolist()):
+            out[r] = NetIDM(
+                Preamble=pre[j],
+                ProtocolID=pid[j],
+                PacketLength=plen[j],
+                HammingCode=ham[j],
+                ApplicationVersion=av[j],
+                ERTType=ert[j],
+                ERTSerialNumber=sn[j],
+                ConsumptionIntervalCount=cic[j],
+                ProgrammingState=ps[j],
+                LastConsumption=lc[j],
+                LastGeneration=lg[j],
+                LastConsumptionNet=lcn[j],
+                DifferentialConsumptionIntervals=tuple(ivals[j]),
+                TransmitTimeOffset=tto[j],
+                SerialNumberCRC=scrc[j],
+                PacketCRC=pcrc[j],
+            )
+        return out
 
 
 register_parser("netidm", NetIDMParser)

@@ -208,22 +208,29 @@ class R900Parser(Parser):
         bits = np.unpackbits(sym[:, :, None], axis=2)[:, :, 3:].reshape(
             rows.size, 105
         )
-        vals = {
-            "ID": f(bits, 0, 32),
-            "Unkn1": f(bits, 32, 40),
-            "NoUse": f(bits, 40, 46),
-            "BackFlow": f(bits, 46, 48),
-            "Consumption": f(bits, 48, 72),
-            "Unkn3": f(bits, 72, 74),
-            "Leak": f(bits, 74, 78),
-            "LeakNow": f(bits, 78, 80),
-        }
+        ids = f(bits, 0, 32).tolist()
+        unkn1 = f(bits, 32, 40).tolist()
+        nouse = f(bits, 40, 46).tolist()
+        backflow = f(bits, 46, 48).tolist()
+        consumption = f(bits, 48, 72).tolist()
+        unkn3 = f(bits, 72, 74).tolist()
+        leak = f(bits, 74, 78).tolist()
+        leaknow = f(bits, 78, 80).tolist()
+        chk = np.ascontiguousarray(sym[:, 16:21]).tobytes()
+        wrap = self._wrap
         out = {}
-        for j, r in enumerate(rows):
-            out[int(r)] = self._wrap(
+        for j, r in enumerate(rows.tolist()):
+            out[r] = wrap(
                 R900(
-                    **{k: int(v[j]) for k, v in vals.items()},
-                    checksum_symbols=bytes(sym[j, 16:21]),
+                    ID=ids[j],
+                    Unkn1=unkn1[j],
+                    NoUse=nouse[j],
+                    BackFlow=backflow[j],
+                    Consumption=consumption[j],
+                    Unkn3=unkn3[j],
+                    Leak=leak[j],
+                    LeakNow=leaknow[j],
+                    checksum_symbols=chk[5 * j : 5 * j + 5],
                 )
             )
         return out

@@ -149,15 +149,19 @@ class SCMParser(Parser):
         t_enc = f(bits, 30, 32)
         cons = f(bits, 32, 56)
         cksum = f(bits, 80, 96)
+        ids, typl = ert_id.tolist(), typ.tolist()
+        phyl, encl = t_phy.tolist(), t_enc.tolist()
+        consl, ckl = cons.tolist(), cksum.tolist()
+        rl = rows.tolist()
         out = {}
-        for j in np.nonzero(ert_id != 0)[0]:
-            out[int(rows[j])] = SCM(
-                ID=int(ert_id[j]),
-                Type=int(typ[j]),
-                TamperPhy=int(t_phy[j]),
-                TamperEnc=int(t_enc[j]),
-                Consumption=int(cons[j]),
-                ChecksumVal=int(cksum[j]),
+        for j in np.nonzero(ert_id != 0)[0].tolist():
+            out[rl[j]] = SCM(
+                ID=ids[j],
+                Type=typl[j],
+                TamperPhy=phyl[j],
+                TamperEnc=encl[j],
+                Consumption=consl[j],
+                ChecksumVal=ckl[j],
             )
         return out
 

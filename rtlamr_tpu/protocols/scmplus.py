@@ -162,16 +162,20 @@ class SCMPlusParser(Parser):
         keep = (endpoint_id != 0) & (d[:, 2] == 0x1E)
         frame_sync, cons = be(0, 2), be(8, 12)
         tamper, crc_v = be(12, 14), be(14, 16)
+        fsl, eidl, consl = frame_sync.tolist(), endpoint_id.tolist(), cons.tolist()
+        taml, crcl = tamper.tolist(), crc_v.tolist()
+        pidl, etl = d[:, 2].tolist(), d[:, 3].tolist()
+        rl = rows.tolist()
         out = {}
-        for j in np.nonzero(keep)[0]:
-            out[int(rows[j])] = SCMPlus(
-                FrameSync=int(frame_sync[j]),
-                ProtocolID=int(d[j, 2]),
-                EndpointType=int(d[j, 3]),
-                EndpointID=int(endpoint_id[j]),
-                Consumption=int(cons[j]),
-                Tamper=int(tamper[j]),
-                PacketCRC=int(crc_v[j]),
+        for j in np.nonzero(keep)[0].tolist():
+            out[rl[j]] = SCMPlus(
+                FrameSync=fsl[j],
+                ProtocolID=pidl[j],
+                EndpointType=etl[j],
+                EndpointID=eidl[j],
+                Consumption=consl[j],
+                Tamper=taml[j],
+                PacketCRC=crcl[j],
             )
         return out
 
