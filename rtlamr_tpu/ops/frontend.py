@@ -79,7 +79,11 @@ class FrontendSpec:
     packet_length: int
     block_size: int
     window: int  # W: search positions per window; multiple of block_size
-    max_hits: int  # K: output capacity (distinct candidates) per group
+    #: escalation threshold on distinct candidates per group per window
+    #: (also sizes gather_hits/slice_hits via make_frontend_spec); a window
+    #: with more unique candidates re-decodes under the high-capacity
+    #: program variant (decoder/pipeline._big_spec).
+    max_hits: int
     groups: Tuple[GroupSpec, ...]
     wants_r900: bool
     #: "jnp" (pure XLA) or "pallas" (fused stencil kernel for bits/q6)
@@ -311,12 +315,14 @@ def decode_core(spec: FrontendSpec, iq: jnp.ndarray, first: jnp.ndarray):
         arbitrary for the stream's first window.
       first: scalar bool — True for the stream's first window (zero history).
 
-    Returns a dict per preamble group index g:
-      counts[g]: scalar int32 total true hits (may exceed max_hits K)
-      idx[g]:    (K,) int32 ascending hit positions in [0, window),
+    Returns a dict per preamble group index g (rows at the slice capacity
+    k = min(slice_hits, gather_hits); the host compacts via ``keep``):
+      counts[g]: (2,) int32 [raw hits, surviving candidates]
+      idx[g]:    (k,) int32 ascending hit positions in [0, window),
                  window as fill
-      bytes[g]:  (K, ceil(S_g/8)) uint8 MSB-first packed packet symbols
-      symbols[g] (R900 groups only): (K, 42) uint8 4-ary payload symbols
+      keep[g]:   (k,) u8 survivor mask (valid, checksum-passing, deduped)
+      bytes[g]:  (k, ceil(S_g/8)) uint8 MSB-first packed packet symbols
+      symbols[g] (R900 groups only): (k, 42) uint8 4-ary payload symbols
     """
     return decode_core_staged(spec, stage_iq(spec, iq), first)
 
@@ -744,6 +750,7 @@ def search_slice(spec: FrontendSpec, bits: jnp.ndarray, q6, mask2d):
 
     counts: List[jnp.ndarray] = []
     idxs: List[jnp.ndarray] = []
+    keeps: List[jnp.ndarray] = []
     byte_mats: List[jnp.ndarray] = []
     symbol_mats: Dict[int, jnp.ndarray] = {}
 
@@ -882,7 +889,11 @@ def search_slice(spec: FrontendSpec, bits: jnp.ndarray, q6, mask2d):
 
         # Collapse remaining same-block duplicates by gathered content
         # (consecutive survivors may still carry identical packets — e.g.
-        # two plateaus of the same transmission within one block).
+        # two plateaus of the same transmission within one block). The
+        # surviving rows are NOT re-compacted on device: the packed result
+        # carries all k_slice rows plus this keep mask, and the host (which
+        # fetches the buffer anyway) selects the survivors — dropping one
+        # full sort + three takes per group from the device program.
         key = syms if group.wants_r900 else packed
         block_of = safe_idx // spec.block_size
         same_prev = jnp.all(key[1:] == key[:-1], axis=-1)
@@ -890,20 +901,19 @@ def search_slice(spec: FrontendSpec, bits: jnp.ndarray, q6, mask2d):
         dup = jnp.concatenate([jnp.zeros(1, jnp.bool_), same_prev])
         keep = jnp.logical_and(valid, jnp.logical_not(dup))
         unique_count = jnp.sum(keep, dtype=jnp.int32)
-        u_pos = _compact_true_positions(keep, k_cap, k_slice)
-        safe_pos = jnp.where(u_pos < k_slice, u_pos, 0).astype(jnp.int32)
 
         counts.append(jnp.stack([raw_count, unique_count]))
-        out_idx = jnp.where(u_pos < k_slice, jnp.take(slice_idx, safe_pos), w)
-        idxs.append(out_idx.astype(jnp.int32))
-        byte_mats.append(jnp.take(packed, safe_pos, axis=0))
+        idxs.append(slice_idx)
+        keeps.append(keep.astype(jnp.uint8))
+        byte_mats.append(packed)
         if group.wants_r900:
-            symbol_mats[g] = jnp.take(syms, safe_pos, axis=0)
+            symbol_mats[g] = syms
 
     return {
         "counts": jnp.stack(counts),  # (G, 2): raw hits, unique candidates
-        "idx": idxs,
-        "bytes": byte_mats,
+        "idx": idxs,  # (k_slice,) positions, w as fill
+        "keep": keeps,  # (k_slice,) u8 survivor masks
+        "bytes": byte_mats,  # (k_slice, nbytes) per group
         "symbols": symbol_mats,
     }
 
@@ -927,8 +937,12 @@ def decode_window_staged(spec: FrontendSpec, staged: jnp.ndarray, first):
 
 
 def result_layout(spec: FrontendSpec) -> List[Tuple[str, int, int]]:
-    """(name, byte_offset, byte_size) entries of the packed result buffer."""
-    k = spec.max_hits
+    """(name, byte_offset, byte_size) entries of the packed result buffer.
+
+    Rows are carried at the slice capacity with a per-group keep mask; the
+    host compacts survivors after the (latency-bound, size-insensitive)
+    fetch — see search_slice."""
+    k = min(spec.slice_hits, spec.gather_hits)
     layout = []
     off = 0
 
@@ -940,6 +954,8 @@ def result_layout(spec: FrontendSpec) -> List[Tuple[str, int, int]]:
     add("counts", 4 * len(spec.groups) * 2)
     for g, group in enumerate(spec.groups):
         add(f"idx{g}", 4 * k)
+    for g, group in enumerate(spec.groups):
+        add(f"keep{g}", k)
     for g, group in enumerate(spec.groups):
         nbytes = (group.packet_symbols + 7) >> 3
         add(f"bytes{g}", k * nbytes)
@@ -961,6 +977,7 @@ def pack_results(res: Dict[str, object]) -> jnp.ndarray:
     """Flatten a decode_core result dict into one uint8 buffer (traceable)."""
     parts = [_as_u8(res["counts"])]
     parts += [_as_u8(x) for x in res["idx"]]
+    parts += [_as_u8(x) for x in res["keep"]]
     parts += [_as_u8(x) for x in res["bytes"]]
     parts += [_as_u8(res["symbols"][g]) for g in sorted(res["symbols"])]
     return jnp.concatenate(parts)
@@ -1003,16 +1020,24 @@ def decode_window_staged_packed(spec: FrontendSpec, staged, first):
 
 
 def unpack_results(spec: FrontendSpec, buf: np.ndarray) -> Dict[str, object]:
-    """Host-side unpack of the single result buffer into the dict layout."""
+    """Host-side unpack of the single result buffer into the dict layout.
+
+    Applies each group's keep mask (the device-side compaction moved here —
+    the fetch is latency-bound, so carrying the masked-out rows is free):
+    the returned per-group arrays hold exactly ``counts[g, 1]`` surviving
+    candidates in ascending position order."""
     buf = np.asarray(buf, np.uint8)
-    k = spec.max_hits
+    k = min(spec.slice_hits, spec.gather_hits)
     out: Dict[str, object] = {"idx": [], "bytes": [], "symbols": {}}
+    keeps: List[np.ndarray] = []
     for name, off, size in result_layout(spec):
         view = buf[off : off + size]
         if name == "counts":
             out["counts"] = view.view(np.int32).reshape(len(spec.groups), 2)
         elif name.startswith("idx"):
             out["idx"].append(view.view(np.int32))
+        elif name.startswith("keep"):
+            keeps.append(view.astype(bool))
         elif name.startswith("bytes"):
             g = len(out["bytes"])
             nbytes = (spec.groups[g].packet_symbols + 7) >> 3
@@ -1020,6 +1045,11 @@ def unpack_results(spec: FrontendSpec, buf: np.ndarray) -> Dict[str, object]:
         elif name.startswith("symbols"):
             g = int(name[len("symbols") :])
             out["symbols"][g] = view.reshape(k, PAYLOAD_SYMBOLS)
+    for g, mask in enumerate(keeps):
+        out["idx"][g] = out["idx"][g][mask]
+        out["bytes"][g] = out["bytes"][g][mask]
+        if g in out["symbols"]:
+            out["symbols"][g] = out["symbols"][g][mask]
     return out
 
 

@@ -295,6 +295,69 @@ def test_wideband_checkpoint_resume_bit_identical(tmp_path):
         restore_checkpoint(plain, restored)
 
 
+def test_wideband_mesh_checkpoint_resume_bit_identical(tmp_path):
+    """WidebandMeshDecoder (2-D channel x time mesh): sharded channelizer
+    history + per-channel tails + dedup states round-trip through a
+    checkpoint; resume is bit-identical (VERDICT r4 item 8)."""
+    import jax
+
+    from rtlamr_tpu.decoder.checkpoint import (
+        WidebandCheckpoint,
+        load_checkpoint,
+    )
+    from rtlamr_tpu.parallel.wideband_mesh import WidebandMeshDecoder
+
+    n_ch = 4
+    parsers = lambda: [new_parser(p, 8) for p in ("scm", "r900")]
+    mk = lambda: WidebandMeshDecoder(
+        parsers(), n_channels=n_ch, mesh_shape=(2, 2),
+        devices=jax.devices()[:4], window_blocks=None,
+        cross_channel_dedup=True,
+    )
+    dec_full = mk()
+    w = dec_full.spec.window
+    sb = dec_full.superbatch_bytes  # wideband bytes per super-batch
+    span = sb // (2 * n_ch)  # per-channel samples per super-batch
+    planted = [
+        (0, synth.bits_to_burst(
+            synth.make_scm_bits(meter_id=111001, consumption=1), 3000)),
+        # Straddles the checkpoint boundary on channel 1: only the carried
+        # (sharded) channelizer history + per-channel tails recover it.
+        (1, synth.bits_to_burst(
+            synth.make_scm_bits(meter_id=222002, consumption=2),
+            span - 700)),
+        (2, synth.r900_burst(
+            synth.make_r900_symbols(meter_id=333003), span + 5000)),
+    ]
+    wb = synth.render_wideband(
+        2 * span, planted, n_ch, 8, amplitude=90.0, noise=2.0, seed=9
+    )
+    want = [(c, b, str(m)) for c, b, m in dec_full.decode_capture(wb)]
+    assert len(want) >= 3
+
+    dec_a = mk()
+    dec_a.reset()
+    got = [(c, b, str(m)) for c, b, m in dec_a.feed(wb[:sb])]
+    ckpt = capture_checkpoint(dec_a, sb)
+    ckpt.save(str(tmp_path / "wmck"))
+
+    restored = load_checkpoint(str(tmp_path / "wmck"))
+    assert isinstance(restored, WidebandCheckpoint)
+    dec_b = mk()
+    restore_checkpoint(dec_b, restored)
+    got += [(c, b, str(m)) for c, b, m in dec_b.feed(wb[sb:])]
+    got += [(c, b, str(m)) for c, b, m in dec_b.flush()]
+    assert got == want
+
+    # A single-chip wideband checkpoint cannot restore the mesh layout
+    # (carried tail width differs) — geometry is validated loudly.
+    from rtlamr_tpu.parallel.wideband import WidebandDecoder
+
+    single = WidebandDecoder(parsers(), n_channels=n_ch, window_blocks=None)
+    with pytest.raises(ValueError, match="geometry mismatch"):
+        restore_checkpoint(single, restored)
+
+
 def test_cli_wideband_checkpoint_interrupt_resume(tmp_path, monkeypatch):
     """Wideband CLI: interrupt mid-capture, checkpoint, resume; the
     concatenated (channel-tagged) output equals straight-through."""

@@ -35,6 +35,14 @@ Scenarios:
   allproto — all six protocols (scm, scm+, idm, netidm, r900, r900bcd)
              decoded in one multi-host run, packets spread across both
              processes' runs plus one on the seam.
+  resume   — the 'hard' capture decoded with a checkpoint/restore between
+             the two super-batches: after batch 0 every process drains,
+             saves its per-process MultiHostCheckpoint, builds a FRESH
+             MultiHostDecoder, restores, and decodes batch 1. The message
+             stream must be identical to an uninterrupted run — including
+             the 555555 plateau straddling the checkpoint boundary, whose
+             dedup depends on the restored cross-super-batch seam tail and
+             carry rows (decoder/checkpoint.py MultiHostCheckpoint).
 """
 
 from __future__ import annotations
@@ -214,8 +222,8 @@ def main() -> None:
         "allproto": ("scm", "scm+", "idm", "netidm", "r900", "r900bcd"),
     }.get(scenario, ("scm",))
     parsers = [new_parser(n, chip) for n in names]
-    max_hits = 1 if scenario == "hard" else 256
-    n_batches = 2 if scenario == "hard" else 1
+    max_hits = 1 if scenario in ("hard", "resume") else 256
+    n_batches = 2 if scenario in ("hard", "resume") else 1
     if scenario == "overflow":
         # Lower the digest-exchange capacity so 2 digests/boundary block
         # (R900 + R900BCD from one burst) overflow it — drives the loud
@@ -227,7 +235,7 @@ def main() -> None:
     )
     w = dec.spec.window
     batch_windows = dec.n_global * scan_windows
-    if scenario == "hard":
+    if scenario in ("hard", "resume"):
         iq = build_capture_hard(
             dec.cfg, w, batch_windows, n_batches, chip, dec.spec.halo
         )
@@ -241,11 +249,33 @@ def main() -> None:
         iq = build_capture(dec.cfg, w, batch_windows, chip)
 
     msgs = []
+    prior_metrics = {}
     for j in range(n_batches):
         base = j * num_procs * dec.local_window_bytes
         lo = base + proc_id * dec.local_window_bytes
         hi = lo + dec.local_window_bytes
         msgs.extend(dec.decode_superbatch_local(iq[lo:hi]))
+        if scenario == "resume" and j == 0:
+            # Simulated interrupt at the super-batch boundary: drain,
+            # checkpoint, rebuild the decoder from scratch, restore.
+            from rtlamr_tpu.decoder.checkpoint import (
+                MultiHostCheckpoint,
+                capture_checkpoint,
+                restore_checkpoint,
+            )
+
+            msgs.extend(dec.drain())
+            ckpt_path = out_path + ".ckpt"
+            batch_bytes = num_procs * dec.local_window_bytes
+            capture_checkpoint(dec, batch_bytes).save(ckpt_path)
+            prior_metrics = dec._local.metrics.snapshot()
+            dec = MultiHostDecoder(
+                parsers, window_blocks=None, scan_windows=scan_windows,
+                max_hits=max_hits,
+            )
+            restore_checkpoint(
+                dec, MultiHostCheckpoint.load(ckpt_path, proc_id)
+            )
     msgs.extend(dec.drain())  # dispatch-ahead: last batch completes here
 
     records = [
@@ -262,7 +292,15 @@ def main() -> None:
             {
                 "process": proc_id,
                 "messages": records,
-                "metrics": dec._local.metrics.snapshot(),
+                "metrics": {
+                    k: (
+                        v + prior_metrics.get(k, 0)
+                        if isinstance(v, (int, float))
+                        and isinstance(prior_metrics.get(k, 0), (int, float))
+                        else v
+                    )
+                    for k, v in dec._local.metrics.snapshot().items()
+                },
             },
             f,
         )
