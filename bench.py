@@ -102,13 +102,76 @@ def run_ingest(dec, iq: np.ndarray, seconds: float) -> tuple:
     return fed // 2, elapsed, decoded
 
 
+def run_ingest_native(dec, iq: np.ndarray, seconds: float) -> tuple:
+    """Host-bytes -> messages over the native to-staged pop path.
+
+    The C++ transport (native/src/ingest.cpp rtlamr_file_read_staged)
+    writes decode-ready StagedGeometry u16 buffers straight from the
+    mmapped capture — no per-window NumPy staging copy anywhere
+    (VERDICT r4 item 6). Buffers rotate (dispatch depth 1 => 3 is safe).
+    """
+    import tempfile
+
+    from rtlamr_tpu import native
+    from rtlamr_tpu.ops.frontend import staged_geometry
+
+    if not native.available():
+        raise SystemExit(f"native ingest unavailable: {native.load_error()}")
+    spec = dec.spec
+    geo = staged_geometry(spec)
+    w, hs = spec.window, spec.halo_staged
+    usable = (iq.size // (2 * w)) * 2 * w
+    with tempfile.NamedTemporaryFile(suffix=".bin", delete=False) as f:
+        path = f.name
+        iq[:usable].tofile(f)
+    bufs = [np.zeros(geo.staged_samples, np.uint16) for _ in range(3)]
+    n_win = usable // (2 * w)
+
+    def one_pass(src, carry):
+        n = 0
+        src.seek(0)
+        for i in range(n_win):
+            staged = bufs[i % 3]
+            got = src.read_staged(staged, carry, w)
+            assert got == w
+            n += len(dec.process_host_staged(staged))
+        return n
+
+    src = native.NativeFileSource(path)
+    try:
+        dec.reset()
+        carry = np.zeros(hs, np.uint16)
+        one_pass(src, carry)
+        dec.drain()
+
+        dec.reset()
+        carry = np.zeros(hs, np.uint16)
+        decoded = 0
+        fed = 0
+        start = time.perf_counter()
+        while True:
+            decoded += one_pass(src, carry)
+            fed += usable
+            elapsed = time.perf_counter() - start
+            if elapsed >= seconds:
+                break
+        decoded += len(dec.drain())
+        elapsed = time.perf_counter() - start
+    finally:
+        src.close()
+        os.unlink(path)
+    return fed // 2, elapsed, decoded
+
+
 def main() -> None:
     window_blocks = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
     seconds = float(sys.argv[2]) if len(sys.argv) > 2 else 12.0
     backend = sys.argv[3] if len(sys.argv) > 3 else "pallas"
     mode = sys.argv[4] if len(sys.argv) > 4 else "staged"
-    if mode not in ("staged", "ingest"):
-        raise SystemExit(f"mode must be staged|ingest, got {mode!r}")
+    if mode not in ("staged", "ingest", "ingest-native"):
+        raise SystemExit(
+            f"mode must be staged|ingest|ingest-native, got {mode!r}"
+        )
 
     import jax
     import jax.numpy as jnp

@@ -285,9 +285,7 @@ class WindowDecoder:
         and compute overlap with this call's host work. Results therefore
         arrive with one-window latency; flush() drains the tail.
         """
-        import jax.numpy as jnp
-
-        from ..ops.frontend import decode_window_staged_packed, staged_geometry
+        from ..ops.frontend import staged_geometry
 
         spec = self.spec
         geo = staged_geometry(spec)
@@ -295,6 +293,28 @@ class WindowDecoder:
         staged = np.zeros(geo.staged_samples, np.uint16)
         staged[:hs] = self._carry
         staged[hs : hs + w] = np.ascontiguousarray(window_bytes).view(np.uint16)
+        return self.process_host_staged(staged, valid_blocks)
+
+    def process_host_staged(
+        self, staged: np.ndarray, valid_blocks: Optional[int] = None
+    ) -> List[Tuple[int, Message]]:
+        """Dispatch one externally staged u16 window buffer.
+
+        ``staged`` is a (staged_samples,) uint16 buffer in the
+        StagedGeometry layout with the carry already in place — e.g. built
+        zero-copy by the native transport's ``read_staged``
+        (rtlamr_tpu.native), which writes decode-ready buffers directly
+        from the socket ring / mmap. The buffer is retained by reference
+        until this window's results are fetched (one window of
+        dispatch-ahead), so callers must rotate >= 2 buffers. self._carry
+        is refreshed from the buffer so checkpoint/resume stays exact.
+        """
+        import jax.numpy as jnp
+
+        from ..ops.frontend import decode_window_staged_packed
+
+        spec = self.spec
+        hs, w = spec.halo_staged, spec.window
         buf = decode_window_staged_packed(
             spec, jnp.asarray(staged), self._first_scalar(self._first)
         )

@@ -78,6 +78,16 @@ def _bind(lib: ctypes.CDLL) -> None:
         c.c_int64, c.POINTER(c.c_uint8), c.c_int64, c.c_int,
         c.POINTER(c.c_int),
     ]
+    lib.rtlamr_ingest_read_staged.restype = c.c_int64
+    lib.rtlamr_ingest_read_staged.argtypes = [
+        c.c_int64, c.POINTER(c.c_uint16), c.POINTER(c.c_uint16),
+        c.c_int64, c.c_int64, c.c_int, c.POINTER(c.c_int),
+    ]
+    lib.rtlamr_file_read_staged.restype = c.c_int64
+    lib.rtlamr_file_read_staged.argtypes = [
+        c.c_int64, c.POINTER(c.c_uint16), c.POINTER(c.c_uint16),
+        c.c_int64, c.c_int64,
+    ]
     lib.rtlamr_ingest_stats.restype = c.c_int
     lib.rtlamr_ingest_stats.argtypes = [
         c.c_int64, c.POINTER(c.c_uint64), c.POINTER(c.c_uint64),
@@ -240,6 +250,36 @@ class NativeRtlTcpClient:
             raise EOFError("rtl_tcp: connection closed")
         return out
 
+    def read_staged(
+        self,
+        staged: np.ndarray,
+        carry: np.ndarray,
+        window: int,
+        deadline: float = 5.0,
+    ) -> Tuple[int, bool]:
+        """Fill a StagedGeometry u16 window buffer directly from the ring.
+
+        ``staged`` is a (staged_samples,) uint16 buffer whose tail past
+        ``len(carry) + window`` the caller keeps zeroed; ``carry`` is the
+        (halo_staged,) uint16 carry, updated in place on a full read. No
+        per-window NumPy staging copy happens anywhere — the native reader
+        writes the decode-ready layout. Returns (samples_read, timed_out);
+        samples_read < window means eof/timeout (carry NOT updated; the
+        partial bytes sit at staged[halo_staged:] for a fallback path).
+        """
+        assert self._h is not None, "not connected"
+        timed_out = ctypes.c_int(0)
+        got = load().rtlamr_ingest_read_staged(
+            self._h,
+            staged.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+            carry.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+            carry.size,
+            window,
+            int(deadline * 1000),
+            ctypes.byref(timed_out),
+        )
+        return int(got), bool(timed_out.value)
+
     def stats(self) -> Tuple[int, int, int]:
         """(bytes_total, bytes_dropped, bytes_buffered)."""
         assert self._h is not None, "not connected"
@@ -274,6 +314,23 @@ class NativeFileSource:
             self._h, out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), n_bytes
         )
         return out[: max(got, 0)]
+
+    def read_staged(
+        self, staged: np.ndarray, carry: np.ndarray, window: int
+    ) -> int:
+        """Fill a StagedGeometry u16 window buffer from the mapped file
+        (same contract as NativeRtlTcpClient.read_staged, minus the
+        deadline). Returns samples read; < window means end of capture."""
+        assert self._h is not None, "closed"
+        return int(
+            load().rtlamr_file_read_staged(
+                self._h,
+                staged.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+                carry.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+                carry.size,
+                window,
+            )
+        )
 
     def seek(self, pos: int) -> None:
         assert self._h is not None, "closed"

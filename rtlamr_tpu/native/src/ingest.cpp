@@ -293,6 +293,62 @@ int64_t rtlamr_ingest_read(int64_t h, uint8_t* out, int64_t n,
   return static_cast<int64_t>(got);
 }
 
+// Fill one StagedGeometry window buffer in place (ops/frontend.py): carry
+// samples land at [0, halo_staged), fresh window samples at
+// [halo_staged, halo_staged + window), and on a full read the carry is
+// updated from the filled buffer (carry' = staged[window : window +
+// halo_staged]) — exactly the layout the device program consumes, so the
+// live path's per-window NumPy staging copy disappears (the transport
+// writes decode-ready buffers directly; VERDICT r4 item 6). The tail past
+// halo_staged + window is untouched: callers keep it zeroed.
+//
+// Returns fresh SAMPLES read (== window normally). On eof/timeout the
+// remainder of the window region is zeroed, carry is NOT updated, and the
+// partial bytes remain at staged[halo_staged ...] for the caller's
+// fallback byte path.
+static int64_t finish_staged(uint16_t* staged, uint16_t* carry,
+                             int64_t halo_staged, int64_t window,
+                             size_t got_bytes) {
+  size_t want = static_cast<size_t>(window) * 2;
+  uint8_t* win = reinterpret_cast<uint8_t*>(staged + halo_staged);
+  if (got_bytes < want) {
+    memset(win + got_bytes, 0, want - got_bytes);
+    return static_cast<int64_t>(got_bytes / 2);
+  }
+  // window >= halo in every valid FrontendSpec, but memmove tolerates
+  // overlap regardless.
+  memmove(carry, staged + window, static_cast<size_t>(halo_staged) * 2);
+  return window;
+}
+
+int64_t rtlamr_ingest_read_staged(int64_t h, uint16_t* staged,
+                                  uint16_t* carry, int64_t halo_staged,
+                                  int64_t window, int timeout_ms,
+                                  int* timed_out) {
+  Conn* c = find_conn(h);
+  if (!c || !staged || !carry || halo_staged < 0 || window <= 0) return -1;
+  memcpy(staged, carry, static_cast<size_t>(halo_staged) * 2);
+  bool to = false;
+  size_t got = c->ring->pop(reinterpret_cast<uint8_t*>(staged + halo_staged),
+                            static_cast<size_t>(window) * 2, timeout_ms, &to);
+  if (timed_out) *timed_out = to ? 1 : 0;
+  return finish_staged(staged, carry, halo_staged, window, got);
+}
+
+int64_t rtlamr_file_read_staged(int64_t h, uint16_t* staged, uint16_t* carry,
+                                int64_t halo_staged, int64_t window) {
+  FileMap* fm = find_file(h);
+  if (!fm || !staged || !carry || halo_staged < 0 || window <= 0) return -1;
+  memcpy(staged, carry, static_cast<size_t>(halo_staged) * 2);
+  size_t want = static_cast<size_t>(window) * 2;
+  size_t avail = fm->size - fm->pos;
+  size_t take = want < avail ? want : avail;
+  memcpy(reinterpret_cast<uint8_t*>(staged + halo_staged),
+         fm->data + fm->pos, take);
+  fm->pos += take;
+  return finish_staged(staged, carry, halo_staged, window, take);
+}
+
 // Bytes received / dropped since connect and bytes currently buffered.
 int rtlamr_ingest_stats(int64_t h, uint64_t* total, uint64_t* dropped,
                         uint64_t* buffered) {

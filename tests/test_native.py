@@ -158,6 +158,105 @@ def test_file_source_mmap(tmp_path):
     src.close()
 
 
+def test_file_read_staged_matches_stage_host(tmp_path):
+    """The native to-staged file pop produces EXACTLY the buffers the
+    Python staging path builds (carry placement, pad alignment, carry
+    update), and streaming decode over them is message-identical
+    (VERDICT r4 item 6)."""
+    from rtlamr_tpu.decoder import WindowDecoder
+    from rtlamr_tpu.ops.frontend import staged_geometry
+    from rtlamr_tpu.protocols import new_parser
+    from rtlamr_tpu.ref import synth
+
+    parsers = [new_parser("scm", 8)]
+    dec = WindowDecoder(parsers, window_blocks=4, backend="jnp")
+    spec = dec.spec
+    geo = staged_geometry(spec)
+    w, hs = spec.window, spec.halo_staged
+    n_windows = 3
+    bursts = [
+        synth.bits_to_burst(
+            synth.make_scm_bits(meter_id=111111, consumption=1),
+            2 * w + 200),
+        # Straddles a window boundary: recovered only through the carry the
+        # native pop updates in place.
+        synth.bits_to_burst(
+            synth.make_scm_bits(meter_id=222222, consumption=2),
+            w - 96 * spec.symbol_length // 2),
+    ]
+    iq = synth.render_iq(n_windows * w, bursts, 8, noise=2.0, seed=5)
+    p = tmp_path / "cap.bin"
+    iq.tofile(p)
+
+    want = [(b, str(m)) for b, m in dec.decode_capture(iq)]
+    assert len(want) >= 2
+
+    # Reference staging: what _process_window builds per window.
+    def py_staged(i, carry):
+        st = np.zeros(geo.staged_samples, np.uint16)
+        st[:hs] = carry
+        st[hs : hs + w] = iq[i * 2 * w : (i + 1) * 2 * w].view(np.uint16)
+        return st, st[w : w + hs].copy()
+
+    src = native.NativeFileSource(str(p))
+    carry = np.zeros(hs, np.uint16)
+    py_carry = np.zeros(hs, np.uint16)
+    dec2 = WindowDecoder(parsers, window_blocks=4, backend="jnp")
+    got = []
+    for i in range(n_windows):
+        staged = np.zeros(geo.staged_samples, np.uint16)
+        n = src.read_staged(staged, carry, w)
+        assert n == w
+        expect, py_carry = py_staged(i, py_carry)
+        assert np.array_equal(staged, expect), f"window {i} staged mismatch"
+        assert np.array_equal(carry, py_carry), f"window {i} carry mismatch"
+        got.extend((b, str(m)) for b, m in dec2.process_host_staged(staged))
+    # End of capture: a partial read leaves carry untouched.
+    tail = np.zeros(geo.staged_samples, np.uint16)
+    carry_before = carry.copy()
+    assert src.read_staged(tail, carry, w) == 0
+    assert np.array_equal(carry, carry_before)
+    src.close()
+    got.extend((b, str(m)) for b, m in dec2.drain())
+    assert got == want
+
+
+def test_ring_read_staged_matches_file(tmp_path):
+    """The ring-buffer to-staged pop (live rtl_tcp path) builds the same
+    buffers as the file path."""
+    from rtlamr_tpu.decoder import WindowDecoder
+    from rtlamr_tpu.ops.frontend import staged_geometry
+    from rtlamr_tpu.protocols import new_parser
+
+    parsers = [new_parser("scm", 8)]
+    spec = WindowDecoder(parsers, window_blocks=4).spec
+    geo = staged_geometry(spec)
+    w, hs = spec.window, spec.halo_staged
+    rng = np.random.default_rng(17)
+    iq = rng.integers(0, 256, size=2 * 2 * w, dtype=np.uint8)
+
+    srv = FakeServer(iq.tobytes())
+    srv.start()
+    c = native.NativeRtlTcpClient(f"127.0.0.1:{srv.port}")
+    c.connect()
+    carry = np.zeros(hs, np.uint16)
+    bufs = []
+    for i in range(2):
+        staged = np.zeros(geo.staged_samples, np.uint16)
+        n, timed_out = c.read_staged(staged, carry, w, deadline=5.0)
+        assert n == w and not timed_out
+        bufs.append(staged)
+    c.close()
+
+    py_carry = np.zeros(hs, np.uint16)
+    for i, staged in enumerate(bufs):
+        expect = np.zeros(geo.staged_samples, np.uint16)
+        expect[:hs] = py_carry
+        expect[hs : hs + w] = iq[i * 2 * w : (i + 1) * 2 * w].view(np.uint16)
+        py_carry = expect[w : w + hs].copy()
+        assert np.array_equal(staged, expect), f"window {i} mismatch"
+
+
 def test_native_client_matches_python_client():
     """The native and pure-Python clients produce identical streams."""
     from rtlamr_tpu.io.rtltcp import RtlTcpClient
