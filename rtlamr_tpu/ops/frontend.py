@@ -617,27 +617,6 @@ def _device_valid_mask(
     return valid
 
 
-def _compact_true_positions_batched(
-    mask: jnp.ndarray, size: int, fill: int
-) -> jnp.ndarray:
-    """Row-wise :func:`_compact_true_positions` over a (G, n) mask in ONE
-    batched sort (TPU sorts batch along leading dimensions for free; G
-    separate sorts pay G dispatch/fixed costs)."""
-    g, n = mask.shape
-    big = jnp.int32(n)
-    pos = jnp.where(
-        mask, jax.lax.broadcasted_iota(jnp.int32, (g, n), 1), big
-    )
-    pos = jax.lax.sort(pos, dimension=1)
-    if size <= n:
-        pos = pos[:, :size]
-    else:
-        pos = jnp.concatenate(
-            [pos, jnp.full((g, size - n), big, jnp.int32)], axis=1
-        )
-    return jnp.where(pos < n, pos, fill)
-
-
 def _compact_true_positions(
     mask: jnp.ndarray, size: int, fill: int
 ) -> jnp.ndarray:
@@ -751,8 +730,11 @@ def search_slice(spec: FrontendSpec, bits: jnp.ndarray, q6, mask2d):
         safe_rows[:, None] * 128 + jnp.arange(128, dtype=jnp.int32)[None, :]
     ).reshape(-1)
 
-    G = len(spec.groups)
-    bs = spec.block_size
+    counts: List[jnp.ndarray] = []
+    idxs: List[jnp.ndarray] = []
+    keeps: List[jnp.ndarray] = []
+    byte_mats: List[jnp.ndarray] = []
+    symbol_mats: Dict[int, jnp.ndarray] = {}
 
     # Shared strided views: every group slices ``bits`` at stride SL (and
     # R900 groups slice ``q6`` at 4*CL); built once, pre-packed to bytes so
@@ -766,12 +748,12 @@ def search_slice(spec: FrontendSpec, bits: jnp.ndarray, q6, mask2d):
         else None
     )
 
-    # Level 2: ONE exact nonzero over the gathered rows finds positions
-    # with any group's hit; per-group membership is then resolved on the
-    # small compacted set instead of one big nonzero per group. The
-    # combined capacity covers the SUM across groups (hits can coincide
-    # per group but not per position byte).
-    k_any = min(G * k_gather, n_rows_cap * 128)
+    # Level 2: ONE exact nonzero over the gathered rows finds positions with
+    # any group's hit; per-group membership is then resolved on the small
+    # compacted set instead of one big nonzero per group. The combined
+    # capacity covers the SUM across groups (hits can coincide per group
+    # but not per position byte).
+    k_any = min(len(spec.groups) * k_gather, n_rows_cap * 128)
     any_hits = _compact_true_positions(
         flat_sub != 0, k_any, flat_pos.shape[0]
     )
@@ -780,14 +762,16 @@ def search_slice(spec: FrontendSpec, bits: jnp.ndarray, q6, mask2d):
     any_idx = jnp.where(
         any_valid, jnp.take(flat_pos, safe_any), w
     ).astype(jnp.int32)
-    any_mask = jnp.where(
-        any_valid, jnp.take(flat_sub, safe_any), jnp.uint8(0)
-    )
+    any_mask = jnp.where(any_valid, jnp.take(flat_sub, safe_any), jnp.uint8(0))
     total_any = jnp.sum((mask2d != 0).astype(jnp.int32))
     any_overflow = jnp.logical_or(rows_overflow, total_any > k_any)
 
-    # Content-equality streams for the pre-slice plateau collapse
-    # (see _edge_span_streams), built densely before any per-group work.
+    # Content-equality streams supporting the exact pre-slice plateau
+    # collapse: two consecutive search positions slice identical content
+    # iff no sample-adjacent bit (symbol) edge exists at any of their
+    # strided read positions — precomputed densely by doubling
+    # OR-convolution, then one flat gather per group, all BEFORE the
+    # expensive content gathers so those run at slice_hits capacity.
     k_slice = min(spec.slice_hits, k_gather)
     bit_spans = sorted(
         {g.packet_symbols for g in spec.groups if not g.wants_r900}
@@ -799,155 +783,98 @@ def search_slice(spec: FrontendSpec, bits: jnp.ndarray, q6, mask2d):
         else {}
     )
 
-    # Exact per-group totals; row/combined-gather overflow reports as
-    # gather overflow so the caller escalates.
-    raw_counts = jnp.stack(
-        [jnp.sum((mask2d >> g) & 1, dtype=jnp.int32) for g in range(G)]
-    )
-    raw_counts = jnp.where(any_overflow, jnp.int32(k_gather + 1), raw_counts)
-
-    # Per-group hits, compacted from the combined set — G rows in ONE
-    # batched sort (a per-group count above k_gather is already reported
-    # via the exact raw_counts popcount and escalated by the caller).
-    gbits = jnp.arange(G, dtype=jnp.uint8)[:, None]
-    gsel = ((any_mask[None, :] >> gbits) & 1) != 0  # (G, k_any)
-    ghits = _compact_true_positions_batched(gsel, k_gather, k_any)
-    gvalid = ghits < k_any
-    safe_g = jnp.where(gvalid, ghits, 0).astype(jnp.int32)
-    hit_idx = jnp.where(gvalid, jnp.take(any_idx, safe_g), w).astype(
-        jnp.int32
-    )  # (G, k_gather), one gather
-    valid = jnp.logical_and(gvalid, hit_idx < w)
-
-    # Pre-slice plateau collapse (see _edge_span_streams): drop a hit at q
-    # when the previous hit sits at q-1 in the same block AND the eq stream
-    # PROVES their sliced contents identical (the host parsers\' per-block
-    # seen maps would drop the duplicate anyway, scm/scm.go:62-74).
-    # Conservative: unproven equality keeps the candidate; overflow past
-    # slice_hits escalates exactly like a gather overflow. All groups\' eq
-    # streams are concatenated so the query is ONE gather; per-group
-    # indices are clamped to their own stream (whose True-padded tail reads
-    # as "not equal" — never a wrong collapse).
-    eq_srcs: List[jnp.ndarray] = []
-    span_off: Dict[int, Tuple[int, int]] = {}
-    cursor = 0
-    for s in bit_spans:
-        st = eq_bits[s]
-        span_off[s] = (cursor, int(st.shape[0]))
-        eq_srcs.append(st)
-        cursor += int(st.shape[0])
-    q6_span = None
-    if spec.wants_r900:
-        st = eq_q6[PAYLOAD_SYMBOLS]
-        q6_span = (cursor, int(st.shape[0]))
-        eq_srcs.append(st)
-        cursor += int(st.shape[0])
-    eq_src = jnp.concatenate(eq_srcs)
-    prev_q = jnp.maximum(hit_idx - 1, 0)  # (G, k_gather)
-    eq_rows = []
     for g, group in enumerate(spec.groups):
-        if group.wants_r900:
-            off, ln = q6_span
-            p = prev_q[g] + (spec.preamble_length - sl)
-        else:
-            off, ln = span_off[group.packet_symbols]
-            p = prev_q[g]
-        eq_rows.append(jnp.minimum(p, ln - 1) + off)
-    eq = jnp.take(eq_src, jnp.stack(eq_rows))  # (G, k_gather), one gather
-
-    zcol = jnp.zeros((G, 1), jnp.bool_)
-    adj = jnp.concatenate(
-        [zcol, hit_idx[:, 1:] == hit_idx[:, :-1] + 1], axis=1
-    )
-    sameblk = jnp.concatenate(
-        [zcol, hit_idx[:, 1:] // bs == hit_idx[:, :-1] // bs], axis=1
-    )
-    pre_keep = jnp.logical_and(valid, jnp.logical_not(adj & sameblk & eq))
-    pre_counts = jnp.sum(pre_keep, axis=1, dtype=jnp.int32)
-    raw_counts = jnp.where(
-        pre_counts > k_slice, jnp.int32(k_gather + 1), raw_counts
-    )
-    s_pos = _compact_true_positions_batched(pre_keep, k_slice, k_gather)
-    s_valid = s_pos < k_gather
-    safe_s = jnp.where(s_valid, s_pos, 0).astype(jnp.int32)
-    slice_idx = jnp.where(
-        s_valid, jnp.take_along_axis(hit_idx, safe_s, axis=1), w
-    ).astype(jnp.int32)  # (G, k_slice)
-    valid = jnp.logical_and(s_valid, slice_idx < w)
-    safe_idx = jnp.where(valid, slice_idx, 0)
-
-    # Content gather: ONE flat take over the concatenation of the packed
-    # byte matrix and the R900 symbol matrix covers every group\'s packet
-    # bytes AND symbols (TPU gathers pay a fixed per-take cost that
-    # dominated the per-group formulation; bit slice semantics per
-    # decode.go:353-375, symbols per r900/r900.go:187-193).
-    src_parts = [pack_mat.reshape(-1)]
-    q6_flat_off = int(pack_mat.shape[0]) * int(pack_mat.shape[1])
-    if spec.wants_r900:
-        src_parts.append(q6_mat.reshape(-1))
-    src_flat = jnp.concatenate(src_parts)
-    ncols = pack_mat.shape[1]
-    blocks: List[Tuple[str, int, int, jnp.ndarray]] = []
-    for g, group in enumerate(spec.groups):
-        nbytes = (group.packet_symbols + 7) >> 3
-        r = safe_idx[g] % sl
-        c = safe_idx[g] // sl
-        fb = (
-            r[:, None] * ncols
-            + c[:, None]
-            + 8 * jnp.arange(nbytes, dtype=jnp.int32)[None, :]
+        raw_count = jnp.sum(
+            (mask2d >> g) & 1, dtype=jnp.int32
+        )  # exact total matches
+        # Row/combined-gather overflow reports as gather overflow so the
+        # caller escalates.
+        raw_count = jnp.where(
+            any_overflow, jnp.int32(k_gather + 1), raw_count
         )
-        blocks.append(("bytes", g, nbytes, fb.reshape(-1)))
-        if group.wants_r900:
-            start = safe_idx[g] + (spec.preamble_length - sl)
-            r6 = start % (4 * cl)
-            c6 = start // (4 * cl)
-            fq = (
-                q6_flat_off
-                + r6[:, None] * q6_mat.shape[1]
-                + c6[:, None]
-                + jnp.arange(PAYLOAD_SYMBOLS, dtype=jnp.int32)[None, :]
-            )
-            blocks.append(("syms", g, PAYLOAD_SYMBOLS, fq.reshape(-1)))
-    gathered = jnp.take(
-        src_flat, jnp.concatenate([b[3] for b in blocks])
-    )
-    packed_of: Dict[int, jnp.ndarray] = {}
-    syms_of: Dict[int, jnp.ndarray] = {}
-    pos = 0
-    for kind, g, width, _fl in blocks:
-        size = k_slice * width
-        arr = gathered[pos : pos + size].reshape(k_slice, width)
-        pos += size
-        if kind == "bytes":
-            packed_of[g] = arr
-        else:
-            syms_of[g] = arr
+        # This group's hits, compacted from the combined set (small nonzero;
+        # a per-group count above k_gather is already reported via the exact
+        # raw_count popcount and escalated by the caller).
+        gsel = (any_mask >> g) & 1
+        ghits = _compact_true_positions(gsel != 0, k_gather, k_any)
+        gvalid = ghits < k_any
+        safe_g = jnp.where(gvalid, ghits, 0)
+        hit_idx = jnp.where(gvalid, jnp.take(any_idx, safe_g), w).astype(
+            jnp.int32
+        )
+        valid = jnp.logical_and(gvalid, hit_idx < w)
 
-    counts: List[jnp.ndarray] = []
-    idxs: List[jnp.ndarray] = []
-    keeps: List[jnp.ndarray] = []
-    byte_mats: List[jnp.ndarray] = []
-    symbol_mats: Dict[int, jnp.ndarray] = {}
-    for g, group in enumerate(spec.groups):
         s_g = group.packet_symbols
         nbytes = (s_g + 7) >> 3
+
+        # Pre-slice plateau collapse: drop a hit at q when the previous hit
+        # sits at q-1 in the same block AND the edge query PROVES their
+        # sliced contents identical (the host parsers' per-block seen maps
+        # would drop the duplicate anyway, scm/scm.go:62-74). Conservative:
+        # unproven equality keeps the candidate; overflow past slice_hits
+        # escalates exactly like a gather overflow.
+        prev_q = jnp.maximum(hit_idx - 1, 0)
+        if group.wants_r900:
+            # Clipped takes past the stream end read the True-padded edge
+            # tail -> eq False (conservative, never a wrong collapse).
+            eq = jnp.take(
+                eq_q6[PAYLOAD_SYMBOLS],
+                prev_q + (spec.preamble_length - sl),
+            )
+        else:
+            eq = jnp.take(eq_bits[s_g], prev_q)
+        adj = jnp.concatenate(
+            [jnp.zeros(1, jnp.bool_), hit_idx[1:] == hit_idx[:-1] + 1]
+        )
+        sameblk = jnp.concatenate(
+            [
+                jnp.zeros(1, jnp.bool_),
+                hit_idx[1:] // spec.block_size
+                == hit_idx[:-1] // spec.block_size,
+            ]
+        )
+        pre_keep = jnp.logical_and(
+            valid, jnp.logical_not(adj & sameblk & eq)
+        )
+        pre_count = jnp.sum(pre_keep, dtype=jnp.int32)
+        raw_count = jnp.where(
+            pre_count > k_slice, jnp.int32(k_gather + 1), raw_count
+        )
+        s_pos = _compact_true_positions(pre_keep, k_slice, k_gather)
+        s_valid = s_pos < k_gather
+        safe_s = jnp.where(s_valid, s_pos, 0).astype(jnp.int32)
+        slice_idx = jnp.where(
+            s_valid, jnp.take(hit_idx, safe_s), w
+        ).astype(jnp.int32)
+        valid = jnp.logical_and(s_valid, slice_idx < w)
+        safe_idx = jnp.where(valid, slice_idx, 0)
+
+        # Bit slice at stride SL (decode.go:353-375), gathered as pre-packed
+        # MSB-first bytes; mask the stray low bits of a partial final byte.
         s_pad = nbytes * 8
-        packed = packed_of[g]
+        packed = _packed_rows_from(pack_mat, safe_idx, sl, nbytes)
         if s_g != s_pad:
-            # Mask the stray low bits of a partial final byte.
             tail_mask = jnp.uint8((0xFF << (s_pad - s_g)) & 0xFF)
             packed = packed.at[:, -1].set(packed[:, -1] & tail_mask)
-        syms = syms_of.get(g)
-        g_valid = valid[g]
+
+        syms = None
+        if group.wants_r900:
+            # 42 payload symbols at stride 4*CL from the 6-ary stream
+            # starting at hit + PreambleLength - SymbolLength
+            # (r900/r900.go:187-193).
+            base = spec.preamble_length - sl
+            syms = _strided_rows_from(
+                q6_mat, safe_idx + base, 4 * cl, PAYLOAD_SYMBOLS
+            )
 
         # Checksum gate on device (crc/crc.go:49-55, r900/r900.go:215-221):
-        # only candidates some parser could turn into a message survive.
-        # Semantics-free (host parsers re-validate survivors; duplicates of
-        # an invalid candidate are equally invalid).
+        # only candidates some parser could turn into a message occupy
+        # output slots. Semantics-free (host parsers re-validate survivors;
+        # duplicates of an invalid candidate are equally invalid) and makes
+        # capacity overflow a function of VALID packets, not noise plateaus.
         if spec.device_validate and group.validators is not None:
-            g_valid = jnp.logical_and(
-                g_valid, _device_valid_mask(group, packed, syms)
+            valid = jnp.logical_and(
+                valid, _device_valid_mask(group, packed, syms)
             )
 
         # Collapse remaining same-block duplicates by gathered content
@@ -955,17 +882,18 @@ def search_slice(spec: FrontendSpec, bits: jnp.ndarray, q6, mask2d):
         # two plateaus of the same transmission within one block). The
         # surviving rows are NOT re-compacted on device: the packed result
         # carries all k_slice rows plus this keep mask, and the host (which
-        # fetches the buffer anyway) selects the survivors.
+        # fetches the buffer anyway) selects the survivors — dropping one
+        # full sort + three takes per group from the device program.
         key = syms if group.wants_r900 else packed
-        block_of = safe_idx[g] // bs
+        block_of = safe_idx // spec.block_size
         same_prev = jnp.all(key[1:] == key[:-1], axis=-1)
         same_prev = jnp.logical_and(same_prev, block_of[1:] == block_of[:-1])
         dup = jnp.concatenate([jnp.zeros(1, jnp.bool_), same_prev])
-        keep = jnp.logical_and(g_valid, jnp.logical_not(dup))
+        keep = jnp.logical_and(valid, jnp.logical_not(dup))
         unique_count = jnp.sum(keep, dtype=jnp.int32)
 
-        counts.append(jnp.stack([raw_counts[g], unique_count]))
-        idxs.append(slice_idx[g])
+        counts.append(jnp.stack([raw_count, unique_count]))
+        idxs.append(slice_idx)
         keeps.append(keep.astype(jnp.uint8))
         byte_mats.append(packed)
         if group.wants_r900:
