@@ -75,17 +75,14 @@ def main():
     _tiny_fetch(bits)
 
     def timed(name, spec_v, patch=None):
-        orig_ei = F._edge_index
-        orig_span = F._no_edge_in_span
+        orig_streams = F._edge_span_streams
         orig_packed = F._packed_rows_from
         orig_rows = F._strided_rows_from
         if patch == "no_eq":
-            F._edge_index = lambda mat: F._EdgeIndex(
-                jnp.zeros((1, 1), jnp.int32), jnp.zeros((1, 1), jnp.uint8)
-            )
-            F._no_edge_in_span = lambda idx, p, stride, n: jnp.ones(
-                p.shape, jnp.bool_
-            )
+            def fake_streams(stream, stride, spans):
+                n = stream.shape[0]
+                return {s: jnp.ones(n, jnp.bool_) for s in spans}
+            F._edge_span_streams = fake_streams
         if patch == "no_gather":
             F._packed_rows_from = lambda p8, starts, stride, nb: jnp.zeros(
                 (starts.shape[0], nb), jnp.uint8
@@ -99,55 +96,12 @@ def main():
             )
             ms = _ms_slope(lambda: ss(bits, q6, mask2d))
         finally:
-            F._edge_index = orig_ei
-            F._no_edge_in_span = orig_span
+            F._edge_span_streams = orig_streams
             F._packed_rows_from = orig_packed
             F._strided_rows_from = orig_rows
         print(f"{name:>14}: {ms:7.3f} ms", file=sys.stderr)
 
-    def timed2(name, patch_fn):
-        """Generic monkeypatch variant."""
-        saved = {
-            k: getattr(F, k)
-            for k in ("_edge_index", "_no_edge_in_span")
-        }
-        patch_fn(F, jnp)
-        try:
-            ss = jax.jit(
-                lambda b, q, m: F.pack_results(F.search_slice(spec, b, q, m))
-            )
-            ms = _ms_slope(lambda: ss(bits, q6, mask2d))
-        finally:
-            for k, v in saved.items():
-                setattr(F, k, v)
-        print(f"{name:>14}: {ms:7.3f} ms", file=sys.stderr)
-
-    def patch_query_only(F, jnp):
-        # Fake tiny index (no build cost) but REAL 4-take query shape.
-        real_ei = F._edge_index
-
-        def fake_ei(mat):
-            stride, c = mat.shape
-            c8 = (-(-c // 8)) * 8 + 8
-            return F._EdgeIndex(
-                jnp.zeros((stride, c8 // 8 + 1), jnp.int32),
-                jnp.zeros((stride, c8), jnp.uint8),
-            )
-
-        F._edge_index = fake_ei
-
-    def patch_build_only(F, jnp):
-        # Real build; query reads one scalar per candidate (1 take not 4).
-        def cheap_span(idx, p, stride, n_items):
-            r = (p % stride).astype(jnp.int32)
-            flat = idx.csg8.reshape(-1)
-            return jnp.take(flat, r) >= 0
-
-        F._no_edge_in_span = cheap_span
-
     timed("full", spec)
-    timed2("query_only", patch_query_only)
-    timed2("build_1take", patch_build_only)
     timed("no_eq", spec, patch="no_eq")
     timed("no_precol", dataclasses.replace(spec, slice_hits=spec.gather_hits))
     timed("no_validate", dataclasses.replace(spec, device_validate=False))
