@@ -108,19 +108,47 @@ def _mix_matrix(spec: ChannelizerSpec):
     return re, im
 
 
+def iq_bytes_to_planes_u16(
+    spec: ChannelizerSpec, iq: jnp.ndarray
+) -> jnp.ndarray:
+    """u8 interleaved wideband IQ -> (N, F) u16 position-major planes.
+
+    Each u16 element packs one (I, Q) byte pair (I in the low byte,
+    little-endian) — the decode path's staged convention
+    (ops/frontend.StagedGeometry). ONE u16-width transpose unscrambles the
+    channel positions, moving HALF the elements of a byte-level transpose
+    and carrying both components per element; the I/Q split and DC removal
+    happen downstream in whatever layout the consumer prefers (the fused
+    Pallas kernel does them in VMEM; :func:`planes_u16_to_frames` for XLA).
+    """
+    n = spec.n_channels
+    u16 = jax.lax.bitcast_convert_type(iq.reshape(-1, 2), jnp.uint16)
+    return u16.reshape(-1, n).T  # (N, F)
+
+
+def planes_u16_to_frames(
+    spec: ChannelizerSpec, planes: jnp.ndarray
+) -> jnp.ndarray:
+    """(N, F) u16 packed planes -> (2, N, F) f32 DC-removed frames.
+
+    Exact: plane values are u8-derived integers, representable in f32."""
+    v = planes.astype(jnp.int32)
+    re = (v & 255).astype(jnp.float32) - 127.5
+    im = (v >> 8).astype(jnp.float32) - 127.5
+    return jnp.stack([re, im], axis=0)
+
+
 def iq_bytes_to_frames(spec: ChannelizerSpec, iq: jnp.ndarray) -> jnp.ndarray:
     """u8 interleaved wideband IQ -> (2, N, F) f32 position-major planes.
 
     frames[s, j, m] = component s of wideband sample m*N + j, DC offset
-    removed. ONE u8 reshape+transpose moves the data into the frame-minor
-    layout every downstream op wants; everything after it is full-lane VPU
-    or MXU work. (Any f32 array with N or 2 as a minor dim would be padded
-    to the (8, 128) tile — up to 64x waste — so the interleaved byte
-    stream is untangled here, once, at u8 width.)
+    removed. Built via the u16 packed transpose
+    (:func:`iq_bytes_to_planes_u16`) — half the transpose traffic of the
+    byte-level formulation, bit-identical values (exact integers in f32) —
+    with the component split done AFTER the transpose in the frame-minor
+    layout every downstream op wants.
     """
-    n = spec.n_channels
-    z = iq.reshape(-1, 2 * n).T.astype(jnp.float32) - 127.5  # (2N, F)
-    return jnp.stack([z[0::2], z[1::2]], axis=0)  # (2, N, F)
+    return planes_u16_to_frames(spec, iq_bytes_to_planes_u16(spec, iq))
 
 
 def ri_to_frames(spec: ChannelizerSpec, ri: jnp.ndarray) -> jnp.ndarray:

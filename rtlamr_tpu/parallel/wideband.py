@@ -104,25 +104,36 @@ def _wideband_step(chspec, spec, wb_hist, wb_new, chan_tail, firsts):
     geo = staged_geometry(spec)
     hs = spec.halo_staged
 
-    frames = iq_bytes_to_frames(chspec, wb_new)  # (2, N, W) f32
     if spec.backend == "pallas":
-        # Fused branches+mix+requantize kernel (ops/pallas_channelizer.py):
-        # one VMEM pass instead of the layout-bound XLA intermediates;
-        # same accumulation order as the jnp chain below (equal up to the
-        # FMA-contraction ulp — see the kernel module docstring).
-        from ..ops.pallas_channelizer import channelize_requantize_fused
+        # Fused branches+mix+requantize kernel (ops/pallas_channelizer.py)
+        # over the PACKED u16 plane layout: one u16-width transpose is the
+        # whole XLA prologue (no f32 frame planes ever materialize), the
+        # I/Q split happens in VMEM; same accumulation order as the jnp
+        # chain below (equal up to the FMA-contraction ulp — see the
+        # kernel module docstring).
+        from ..ops.channelizer import (
+            iq_bytes_to_planes_u16,
+            planes_u16_to_frames,
+        )
+        from ..ops.pallas_channelizer import channelize_requantize_fused_u16
 
-        u16 = channelize_requantize_fused(chspec, wb_hist, frames)
+        planes = iq_bytes_to_planes_u16(chspec, wb_new)  # (N, W) u16
+        u16 = channelize_requantize_fused_u16(chspec, wb_hist, planes)
+        frame_tail = planes_u16_to_frames(
+            chspec, planes[:, w - chspec.history_frames :]
+        )
     else:
+        frames = iq_bytes_to_frames(chspec, wb_new)  # (2, N, W) f32
         ch = channelize(chspec, wb_hist, frames)  # (2, N, W) f32
         u16 = requantize_u16(ch)  # (N, W) u16
+        frame_tail = frames[:, :, w - chspec.history_frames :]
 
     staged = jnp.zeros((n, geo.staged_samples), jnp.uint16)
     staged = staged.at[:, :hs].set(chan_tail)
     staged = staged.at[:, hs : hs + w].set(u16)
     new_tail = staged[:, w : w + hs]
     packed = decode_windows_scan(spec, staged, firsts)
-    return packed, frames[:, :, w - chspec.history_frames :], new_tail, staged
+    return packed, frame_tail, new_tail, staged
 
 
 class WidebandDecoder:
