@@ -194,9 +194,9 @@ def main() -> None:
     # n_windows. The transport's fixed ~25 ms fetch round trip hides under
     # the batch's device compute only when the batch is deep enough:
     # measured (SCAN_K_PROBE) 733 MS/s at K=4, 1033 at K=8, 1191 at K=12,
-    # 1291 at K=16 — approaching the 1.32 GS/s ceiling of the 6.35
-    # ms/window scan program.
-    n_windows = 16
+    # 1291 at K=16 at the round-4 6.35 ms window; the round-5 ~4.7 ms
+    # window needs K=32 to keep the fetch amortized (argv[5] overrides).
+    n_windows = int(sys.argv[5]) if len(sys.argv) > 5 else 32
     iq = build_capture(dec.cfg, n_windows, w, spec.halo)
 
     if mode == "ingest":

@@ -41,6 +41,16 @@ import jax.numpy as jnp
 import numpy as np
 
 
+#: Largest supported filter-bank size. The DFT mix is an explicit f32 FMA
+#: chain (an exactness contract shared by the jnp chain, the fused Pallas
+#: kernel and the mesh shards — see mix_channels), so the traced program
+#: grows O(N^2) with the channel count; 32 channels (~4x the whole 902-928
+#: MHz ERT band at the default rate) keeps compile time and program size
+#: sane. Larger banks would need the matmul formulation plus a re-derived
+#: cross-backend parity contract.
+MAX_CHANNELS = 32
+
+
 @dataclass(frozen=True)
 class ChannelizerSpec:
     """Static configuration of the analysis filter bank."""
@@ -51,6 +61,14 @@ class ChannelizerSpec:
     #: lowpass cutoff as a multiple of the channel Nyquist 1/(2N); >1 trades
     #: adjacent-channel rejection for sharper OOK chip edges.
     cutoff_scale: float = 1.0
+
+    def __post_init__(self):
+        if not 1 <= self.n_channels <= MAX_CHANNELS:
+            raise ValueError(
+                f"n_channels={self.n_channels} outside [1, {MAX_CHANNELS}] "
+                "(the explicit-FMA DFT mix grows O(N^2) traced ops; see "
+                "ops/channelizer.MAX_CHANNELS)"
+            )
 
     @property
     def length(self) -> int:
