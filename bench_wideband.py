@@ -90,8 +90,12 @@ def main() -> None:
         file=sys.stderr,
     )
     cb = dec.window_bytes
+    # Stage as the zero-copy u16 packed-pair view (the production feed
+    # path's layout — ops/channelizer.iq_bytes_to_planes_u16 fast path).
     chunks = [
-        jax.device_put(jnp.asarray(wb[i * cb : (i + 1) * cb]))
+        jax.device_put(
+            jnp.asarray(wb[i * cb : (i + 1) * cb].view(np.uint16))
+        )
         for i in range(n_chunks)
     ]
     jax.block_until_ready(chunks)

@@ -451,6 +451,11 @@ class WindowDecoder:
                 if g in res["symbols"]
                 else None
             )
+            pvalid = (
+                np.asarray(res["pvalid"][g])[:cap]
+                if "pvalid" in res
+                else None
+            )
             b_arr = idx // bs
             keep = b_arr < valid_blocks
             if not keep.any():
@@ -458,12 +463,26 @@ class WindowDecoder:
             idx, b_arr, data = idx[keep], b_arr[keep], data[keep]
             if syms is not None:
                 syms = syms[keep]
-            # Batched checksum pre-filter (crc/crc.go:49-55, r900.go:215-221):
-            # drop candidates no parser in the group could turn into a
-            # message, in one vectorized pass over the whole window. The
-            # per-parser masks are kept and handed to parse_batch so the
-            # CRC/RS work runs exactly once per parser per window.
-            masks = [p.valid_mask(data, syms) for p in self._group_parsers[g]]
+            # Checksum pre-filter (crc/crc.go:49-55, r900.go:215-221): the
+            # device program already computed each parser's verdict per
+            # surviving row (ops/frontend pvalid bitmask) — unpack it
+            # instead of recomputing the CRC/RS on host. The exact NumPy
+            # fallback path carries no pvalid, and groups without device
+            # validators keep the vectorized host check.
+            if (
+                pvalid is not None
+                and spec.device_validate
+                and gspec.validators is not None
+            ):
+                pvalid = pvalid[keep]
+                masks = [
+                    ((pvalid >> j) & 1).astype(bool)
+                    for j in range(len(self._group_parsers[g]))
+                ]
+            else:
+                masks = [
+                    p.valid_mask(data, syms) for p in self._group_parsers[g]
+                ]
             valid = np.zeros(idx.shape[0], dtype=bool)
             for m in masks:
                 valid |= m
@@ -538,6 +557,16 @@ class WindowDecoder:
         blocks = sorted(
             {int(b) for b_arr, _ in group_parsed.values() for b in b_arr}
         )
+        # Per-group block -> (lo, hi) contiguous candidate ranges, built
+        # once vectorized (b_arr ascends) instead of two searchsorted
+        # calls per (block, group) pair.
+        group_ranges: Dict[int, Dict[int, Tuple[int, int]]] = {}
+        for g, (b_arr, _parsed) in group_parsed.items():
+            ub, starts = np.unique(b_arr, return_index=True)
+            ends = np.append(starts[1:], b_arr.size)
+            group_ranges[g] = dict(
+                zip(ub.tolist(), zip(starts.tolist(), ends.tolist()))
+            )
         for b in blocks:
             global_block = window_block0 + b
             if global_block > self._last_block + 1:
@@ -546,12 +575,11 @@ class WindowDecoder:
                 self._deduper.prev = set()
             self._deduper.start_block()
             for g in group_parsed:
-                b_arr, parsed = group_parsed[g]
-                # b_arr ascends (hit indices ascend): one contiguous run.
-                lo = int(np.searchsorted(b_arr, b))
-                hi = int(np.searchsorted(b_arr, b + 1))
-                if lo == hi:
+                rng = group_ranges[g].get(b)
+                if rng is None:
                     continue
+                lo, hi = rng
+                _b_arr, parsed = group_parsed[g]
                 for per_parser in parsed:
                     for r in range(lo, hi):
                         msg = per_parser.get(r)

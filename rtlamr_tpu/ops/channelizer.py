@@ -140,8 +140,16 @@ def iq_bytes_to_planes_u16(
     Pallas kernel does them in VMEM; :func:`planes_u16_to_frames` for XLA).
     """
     n = spec.n_channels
-    u16 = jax.lax.bitcast_convert_type(iq.reshape(-1, 2), jnp.uint16)
-    return u16.reshape(-1, n).T  # (N, F)
+    if iq.dtype == jnp.uint16:
+        return iq.reshape(-1, n).T  # (N, F)
+    # u8 compat path: byte-level transpose first, then pack. (A device-side
+    # u8->u16 bitcast would materialize a minor-dim-2 tile-padded
+    # intermediate — ~64x the data; hosts should pass a zero-copy
+    # .view(np.uint16) of the interleaved bytes instead.)
+    z = iq.reshape(-1, 2 * n).T  # (2N, F) u8
+    lo = z[0::2].astype(jnp.uint16)
+    hi = z[1::2].astype(jnp.uint16)
+    return lo | (hi << 8)
 
 
 def planes_u16_to_frames(

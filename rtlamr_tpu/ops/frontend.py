@@ -593,13 +593,14 @@ def _r900_rs_valid_jnp(syms: jnp.ndarray) -> jnp.ndarray:
     return in_range & jnp.all(syn == 0, axis=1)
 
 
-def _device_valid_mask(
+def _device_parser_masks(
     group: GroupSpec, packed: jnp.ndarray, syms
-) -> jnp.ndarray:
-    """OR over the group's parser validators; each is an AND of CRC gates
-    plus the optional RS gate (mirrors Parser.valid_mask batched on host)."""
+) -> List[jnp.ndarray]:
+    """Per-parser validity masks — each an AND of CRC gates plus the
+    optional RS gate (mirrors Parser.valid_mask batched on host). Shipped
+    to the host as a bitmask so the host parse never recomputes CRCs."""
     n = packed.shape[0]
-    valid = jnp.zeros(n, jnp.bool_)
+    out = []
     for v in group.validators:
         ok = jnp.ones(n, jnp.bool_)
         for c in v.crcs:
@@ -613,7 +614,18 @@ def _device_valid_mask(
             ok = ok & (_crc16_batch_jnp(data, c.init, c.poly) == c.residue)
         if v.rs:
             ok = ok & _r900_rs_valid_jnp(syms)
-        valid = valid | ok
+        out.append(ok)
+    return out
+
+
+def _device_valid_mask(
+    group: GroupSpec, packed: jnp.ndarray, syms
+) -> jnp.ndarray:
+    """OR over the group's parser validators."""
+    masks = _device_parser_masks(group, packed, syms)
+    valid = masks[0]
+    for m in masks[1:]:
+        valid = valid | m
     return valid
 
 
@@ -733,6 +745,7 @@ def search_slice(spec: FrontendSpec, bits: jnp.ndarray, q6, mask2d):
     counts: List[jnp.ndarray] = []
     idxs: List[jnp.ndarray] = []
     keeps: List[jnp.ndarray] = []
+    pvalids: List[jnp.ndarray] = []
     byte_mats: List[jnp.ndarray] = []
     symbol_mats: Dict[int, jnp.ndarray] = {}
 
@@ -869,13 +882,20 @@ def search_slice(spec: FrontendSpec, bits: jnp.ndarray, q6, mask2d):
 
         # Checksum gate on device (crc/crc.go:49-55, r900/r900.go:215-221):
         # only candidates some parser could turn into a message occupy
-        # output slots. Semantics-free (host parsers re-validate survivors;
-        # duplicates of an invalid candidate are equally invalid) and makes
-        # capacity overflow a function of VALID packets, not noise plateaus.
+        # output slots, and the PER-PARSER verdicts ship to the host as a
+        # bitmask (bit j = parser j of the group accepts the row) so the
+        # host parse never recomputes a CRC. Dropping checksum-failing
+        # candidates is semantics-free: duplicates of an invalid candidate
+        # are equally invalid.
+        pv = jnp.zeros(packed.shape[0], jnp.uint8)
         if spec.device_validate and group.validators is not None:
-            valid = jnp.logical_and(
-                valid, _device_valid_mask(group, packed, syms)
-            )
+            pmasks = _device_parser_masks(group, packed, syms)
+            any_ok = pmasks[0]
+            for m in pmasks[1:]:
+                any_ok = any_ok | m
+            valid = jnp.logical_and(valid, any_ok)
+            for j, m in enumerate(pmasks):
+                pv = pv | (m.astype(jnp.uint8) << j)
 
         # Collapse remaining same-block duplicates by gathered content
         # (consecutive survivors may still carry identical packets — e.g.
@@ -895,6 +915,7 @@ def search_slice(spec: FrontendSpec, bits: jnp.ndarray, q6, mask2d):
         counts.append(jnp.stack([raw_count, unique_count]))
         idxs.append(slice_idx)
         keeps.append(keep.astype(jnp.uint8))
+        pvalids.append(pv)
         byte_mats.append(packed)
         if group.wants_r900:
             symbol_mats[g] = syms
@@ -903,6 +924,7 @@ def search_slice(spec: FrontendSpec, bits: jnp.ndarray, q6, mask2d):
         "counts": jnp.stack(counts),  # (G, 2): raw hits, unique candidates
         "idx": idxs,  # (k_slice,) positions, w as fill
         "keep": keeps,  # (k_slice,) u8 survivor masks
+        "pvalid": pvalids,  # (k_slice,) u8 per-parser validity bitmasks
         "bytes": byte_mats,  # (k_slice, nbytes) per group
         "symbols": symbol_mats,
     }
@@ -947,6 +969,8 @@ def result_layout(spec: FrontendSpec) -> List[Tuple[str, int, int]]:
     for g, group in enumerate(spec.groups):
         add(f"keep{g}", k)
     for g, group in enumerate(spec.groups):
+        add(f"pvalid{g}", k)
+    for g, group in enumerate(spec.groups):
         nbytes = (group.packet_symbols + 7) >> 3
         add(f"bytes{g}", k * nbytes)
     for g, group in enumerate(spec.groups):
@@ -968,6 +992,7 @@ def pack_results(res: Dict[str, object]) -> jnp.ndarray:
     parts = [_as_u8(res["counts"])]
     parts += [_as_u8(x) for x in res["idx"]]
     parts += [_as_u8(x) for x in res["keep"]]
+    parts += [_as_u8(x) for x in res["pvalid"]]
     parts += [_as_u8(x) for x in res["bytes"]]
     parts += [_as_u8(res["symbols"][g]) for g in sorted(res["symbols"])]
     return jnp.concatenate(parts)
@@ -1018,7 +1043,9 @@ def unpack_results(spec: FrontendSpec, buf: np.ndarray) -> Dict[str, object]:
     candidates in ascending position order."""
     buf = np.asarray(buf, np.uint8)
     k = min(spec.slice_hits, spec.gather_hits)
-    out: Dict[str, object] = {"idx": [], "bytes": [], "symbols": {}}
+    out: Dict[str, object] = {
+        "idx": [], "pvalid": [], "bytes": [], "symbols": {}
+    }
     keeps: List[np.ndarray] = []
     for name, off, size in result_layout(spec):
         view = buf[off : off + size]
@@ -1028,6 +1055,8 @@ def unpack_results(spec: FrontendSpec, buf: np.ndarray) -> Dict[str, object]:
             out["idx"].append(view.view(np.int32))
         elif name.startswith("keep"):
             keeps.append(view.astype(bool))
+        elif name.startswith("pvalid"):
+            out["pvalid"].append(view)
         elif name.startswith("bytes"):
             g = len(out["bytes"])
             nbytes = (spec.groups[g].packet_symbols + 7) >> 3
@@ -1037,6 +1066,7 @@ def unpack_results(spec: FrontendSpec, buf: np.ndarray) -> Dict[str, object]:
             out["symbols"][g] = view.reshape(k, PAYLOAD_SYMBOLS)
     for g, mask in enumerate(keeps):
         out["idx"][g] = out["idx"][g][mask]
+        out["pvalid"][g] = out["pvalid"][g][mask]
         out["bytes"][g] = out["bytes"][g][mask]
         if g in out["symbols"]:
             out["symbols"][g] = out["symbols"][g][mask]

@@ -88,7 +88,8 @@ def _wideband_step(chspec, spec, wb_hist, wb_new, chan_tail, firsts):
     """One fused device step: wideband bytes -> packed decode results.
 
     wb_hist: (2, N, history_frames) f32 — carried wideband frame tail.
-    wb_new:  (2 * N * window,) u8 — the chunk's interleaved wideband IQ.
+    wb_new:  (N * window,) u16 packed IQ pairs (preferred — zero-copy host
+             view of the interleaved bytes), or (2 * N * window,) u8.
     chan_tail: (N, halo_staged) u16 carried per-channel staged halos.
     firsts: (N,) bool — stream-first flags (all channels start together).
 
@@ -300,6 +301,11 @@ class WidebandDecoder:
         import jax.numpy as jnp
 
         n = self.chspec.n_channels
+        if isinstance(chunk, np.ndarray):
+            # Zero-copy u16 view of the interleaved byte pairs: the device
+            # deinterleave then runs at u16 width with the I/Q split in the
+            # fused kernel (ops/channelizer.iq_bytes_to_planes_u16).
+            chunk = np.ascontiguousarray(chunk).view(np.uint16)
         firsts = jnp.full(n, self._first) if self._first else jnp.zeros(
             n, bool
         )

@@ -65,8 +65,8 @@ def _shard_body(
 ):
     """Per-device body under shard_map on the ("c", "x") mesh.
 
-    wb_loc:        (1, K*N*W*2) u8 — this time shard's wideband bytes
-                   (replicated along "c").
+    wb_loc:        (1, K*N*W) u16 packed IQ pairs — this time shard's
+                   wideband samples (replicated along "c").
     wb_hist:       (2, N, history_frames) f32 replicated — previous
                    super-batch's wideband frame tail.
     chan_tail_loc: (C_loc, halo) u16 — previous super-batch's per-channel
@@ -337,8 +337,12 @@ class WidebandMeshDecoder:
         k, tdev = self.scan_windows, self.tdev
         n = self.chspec.n_channels
         spec = self.spec
-        wb = np.ascontiguousarray(np.asarray(wb_bytes, np.uint8)).reshape(
-            tdev, k * n * spec.window * 2
+        # Zero-copy u16 view: the per-shard deinterleave runs at u16 width
+        # (ops/channelizer.iq_bytes_to_planes_u16).
+        wb = (
+            np.ascontiguousarray(np.asarray(wb_bytes, np.uint8))
+            .view(np.uint16)
+            .reshape(tdev, k * n * spec.window)
         )
         firsts = np.zeros((n, tdev * k), bool)
         if self._first:

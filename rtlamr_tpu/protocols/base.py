@@ -204,6 +204,13 @@ class Digest(NamedTuple):
 
 
 def digest(msg: Message) -> Digest:
+    """Digest of a message (protocol/parse.go:87-101). parse_batch
+    implementations precompute and attach ``_digest`` from their
+    whole-column field arrays — the method-call formulation below is the
+    fallback for scalar-path messages."""
+    d = getattr(msg, "_digest", None)
+    if d is not None:
+        return d
     return Digest(msg.msg_type(), msg.meter_type(), msg.meter_id(), msg.checksum())
 
 

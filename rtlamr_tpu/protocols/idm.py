@@ -18,7 +18,14 @@ import numpy as np
 
 from ..utils.bits import bitfield
 from ..utils.crc import CRC
-from .base import Candidate, Message, PacketConfig, Parser, register_parser
+from .base import (
+    Candidate,
+    Digest,
+    Message,
+    PacketConfig,
+    Parser,
+    register_parser,
+)
 
 PACKET_BYTES = 92
 PACKET_SYMBOLS = PACKET_BYTES * 8
@@ -264,7 +271,7 @@ class IDMParser(Parser):
         ivals = intervals.tolist()
         out = {}
         for j, r in enumerate(rows.tolist()):
-            out[r] = IDM(
+            m = IDM(
                 Preamble=pre[j],
                 PacketTypeID=ptid[j],
                 PacketLength=plen[j],
@@ -283,6 +290,10 @@ class IDMParser(Parser):
                 SerialNumberCRC=scrc[j],
                 PacketCRC=pcrc[j],
             )
+            m._digest = Digest(
+                "IDM", ert[j], sn[j], pcrc[j].to_bytes(2, "big")
+            )
+            out[r] = m
         return out
 
     def parse_batch(self, data, syms, valid=None):

