@@ -310,7 +310,7 @@ def main() -> None:
     # pipeline runs the seam work during the next batch's device compute,
     # so the efficiency floor (NO overlap, the CPU proxy's regime) is
     # 1 - overhead/batch_time and the expected value with overlap is ~1.
-    tpu_rate = 1212.8e6  # r4 paced bench.py median (BENCH.md)
+    tpu_rate = 1729.3e6  # r5 paced bench.py median (BENCH_runs_r05.json)
     tpu_window = 1024 * 8192  # window_blocks=1024 at merged chip-72 config
     overhead_s = max(
         min(c["seam_overhead_ms_per_superbatch"] for c in sweep), 0.0
