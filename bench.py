@@ -28,6 +28,7 @@ Usage: python bench.py [window_blocks] [seconds] [backend] [mode]
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -199,13 +200,14 @@ def main() -> None:
     n_windows = int(sys.argv[5]) if len(sys.argv) > 5 else 32
     iq = build_capture(dec.cfg, n_windows, w, spec.halo)
 
-    if mode == "ingest":
+    if mode in ("ingest", "ingest-native"):
         print(
-            f"ingest mode: feeding {iq.size / 1e6:.1f} MB host bytes "
+            f"{mode} mode: feeding {iq.size / 1e6:.1f} MB host bytes "
             f"through the live path (backend={backend})...",
             file=sys.stderr,
         )
-        samples, elapsed, decoded = run_ingest(dec, iq, seconds)
+        runner = run_ingest_native if mode == "ingest-native" else run_ingest
+        samples, elapsed, decoded = runner(dec, iq, seconds)
         rate = samples / elapsed
         print(
             f"{samples / 1e6:.1f} MS in {elapsed:.2f}s, {decoded} msgs, "
@@ -215,7 +217,11 @@ def main() -> None:
         print(
             json.dumps(
                 {
-                    "metric": "ingest_decode_samples_per_second_per_chip",
+                    "metric": (
+                        "ingest_native_decode_samples_per_second_per_chip"
+                        if mode == "ingest-native"
+                        else "ingest_decode_samples_per_second_per_chip"
+                    ),
                     "value": round(rate, 1),
                     "unit": "samples/s",
                     "vs_baseline": round(rate / REALTIME_SAMPLE_RATE, 2),
