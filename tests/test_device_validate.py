@@ -113,3 +113,53 @@ def test_storm_no_escalation_with_device_validate():
     assert overflows_off > 0
     # ...and stays entirely on the fast path with it.
     assert overflows_on == 0
+
+
+def test_pvalid_bitmask_matches_host_valid_mask():
+    """The device-shipped per-parser verdict bitmask (ops/frontend pvalid)
+    equals each parser's host valid_mask over the surviving rows — the
+    contract that lets _parse_window skip the host CRC/RS recomputation
+    (VERDICT r5 parse path)."""
+    from rtlamr_tpu.decoder import WindowDecoder
+    from rtlamr_tpu.ops.frontend import run_window
+    from rtlamr_tpu.protocols import new_parser
+    from rtlamr_tpu.ref import synth
+
+    names = ("scm", "scm+", "idm", "netidm", "r900", "r900bcd")
+    parsers = [new_parser(n, 8) for n in names]
+    dec = WindowDecoder(parsers, window_blocks=64, backend="jnp")
+    spec = dec.spec
+    w = spec.window
+    # run_window consumes the first `halo` samples as (zeroed) history;
+    # plant everything past it, inside the window's search span.
+    h = spec.halo
+    bursts = [
+        synth.bits_to_burst(
+            synth.make_scm_bits(meter_id=111111, consumption=1), h + 500),
+        synth.bits_to_burst(
+            synth.make_scmplus_bits(endpoint_id=222222, consumption=2),
+            h + 4000),
+        synth.bits_to_burst(
+            synth.make_idm_bits(serial=333333), h + 8000),
+        synth.r900_burst(
+            synth.make_r900_symbols(meter_id=444444), h + 21000),
+    ]
+    iq = synth.render_iq(w + spec.halo, bursts, 8, noise=2.0, seed=3)
+    res = run_window(spec, iq, first=True)
+    checked = 0
+    for g, gspec in enumerate(spec.groups):
+        count = int(res["counts"][g][1])
+        if count == 0:
+            continue
+        data = res["bytes"][g][:count]
+        syms = res["symbols"].get(g)
+        if syms is not None:
+            syms = syms[:count]
+        pv = res["pvalid"][g][:count]
+        group_parsers = dec._group_parsers[g]
+        for j, p in enumerate(group_parsers):
+            host = p.valid_mask(data, syms)
+            dev = ((pv >> j) & 1).astype(bool)
+            np.testing.assert_array_equal(dev, host, err_msg=f"g{g} p{j}")
+            checked += 1
+    assert checked >= 4  # every group produced candidates to compare
