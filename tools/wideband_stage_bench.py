@@ -62,14 +62,30 @@ def main() -> None:
     firsts = jnp.zeros(n_channels, bool)
     _tiny_fetch(wb_dev)
 
+    # Production pallas path: u16 packed planes -> fused kernel.
+    from rtlamr_tpu.ops.channelizer import iq_bytes_to_planes_u16
+    from rtlamr_tpu.ops.pallas_channelizer import (
+        channelize_requantize_fused_u16,
+    )
+
+    wb_u16 = jax.device_put(jnp.asarray(wb.view(np.uint16)))
+    _tiny_fetch(wb_u16)
+    chan_pallas = jax.jit(
+        lambda h, x: channelize_requantize_fused_u16(
+            chspec, h, iq_bytes_to_planes_u16(chspec, x)
+        )
+    )
+    ms_chan = _ms_slope(lambda: chan_pallas(hist, wb_u16))
+
+    # jnp reference chain for contrast (the r4 production path).
     chan_fn = jax.jit(
         lambda h, x: requantize_u16(
             channelize(chspec, h, iq_bytes_to_frames(chspec, x))
         )
     )
-    ms_chan = _ms_slope(lambda: chan_fn(hist, wb_dev))
+    ms_chan_jnp = _ms_slope(lambda: chan_fn(hist, wb_dev))
 
-    u16 = chan_fn(hist, wb_dev)
+    u16 = chan_pallas(hist, wb_u16)
     _tiny_fetch(u16)
 
     @jax.jit
@@ -85,7 +101,9 @@ def main() -> None:
 
     @jax.jit
     def full(h, x, chan_tail, fi):
-        u = requantize_u16(channelize(chspec, h, iq_bytes_to_frames(chspec, x)))
+        u = channelize_requantize_fused_u16(
+            chspec, h, iq_bytes_to_planes_u16(chspec, x)
+        )
         staged = jnp.zeros((n_channels, geo.staged_samples), jnp.uint16)
         staged = staged.at[:, : spec.halo_staged].set(chan_tail)
         staged = staged.at[
@@ -93,7 +111,7 @@ def main() -> None:
         ].set(u)
         return decode_windows_scan(spec, staged, fi)
 
-    ms_full = _ms_slope(lambda: full(hist, wb_dev, tail, firsts))
+    ms_full = _ms_slope(lambda: full(hist, wb_u16, tail, firsts))
 
     samples = n_channels * w  # wideband samples per super-step
     result = {
@@ -102,6 +120,7 @@ def main() -> None:
         "window_blocks": window_blocks,
         "wideband_samples_per_superstep": samples,
         "channelizer_ms": round(ms_chan, 3),
+        "channelizer_jnp_chain_ms": round(ms_chan_jnp, 3),
         "decode_scan_ms": round(ms_dec, 3),
         "full_fused_ms": round(ms_full, 3),
         "channelizer_share": round(ms_chan / ms_full, 3),
