@@ -21,10 +21,12 @@ the overlap is re-read from HBM per tile, a few percent of traffic. All DMA
 starts are multiples of tile_rows, so the staged pad alignment keeps Mosaic's
 (8, 128) sublane tiling happy with zero XLA prologue work.
 
-The prefix sum itself avoids the (TPU-unlowerable, layout-hostile) 1D
-``cumsum`` primitive: lane-axis inclusive scan via log2(128)=7 masked
-roll-adds, then cross-row offsets via log-depth shifted adds along the
-sublane axis — all exact int32 wrap-around arithmetic.
+Instead of a full prefix sum, the kernel computes width-ChipLength
+SLIDING sums by binary doubling (log2(CL) shifted adds): every matched-
+filter output is a +-1 combination of chip-energy sums at CL-spaced
+offsets, so the (much more expensive) log-depth lane+sublane scan is never
+needed — all exact int32 wrap-around arithmetic, bit-identical to the jnp
+chain's cumsum differences by associativity.
 """
 
 from __future__ import annotations
@@ -66,35 +68,6 @@ def _shifted(arr: jnp.ndarray, k: int, r_out: int) -> jnp.ndarray:
     col = jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 1)
     out = jnp.where(col < LANES - k_c, b, b1)[:r_out]
     return out.astype(dtype)
-
-
-def _flat_cumsum(mag: jnp.ndarray) -> jnp.ndarray:
-    """Inclusive prefix sum of the flattened (rows, 128) int32 array.
-
-    Lane axis: 7 masked roll-adds (Hillis-Steele). Row axis: log-depth
-    masked sublane-roll adds of the broadcast per-row totals. Exact int32
-    wrap-around; full-width (rows, 128) shapes throughout to stay inside
-    Mosaic's supported layouts.
-    """
-    rows = mag.shape[0]
-    col = jax.lax.broadcasted_iota(jnp.int32, mag.shape, 1)
-    row = jax.lax.broadcasted_iota(jnp.int32, mag.shape, 0)
-    cs = mag
-    s = 1
-    while s < LANES:
-        rolled = pltpu.roll(cs, s, axis=1)  # rolled[c] = cs[(c - s) % 128]
-        cs = cs + jnp.where(col >= s, rolled, 0)
-        s <<= 1
-    # Inclusive row-total scan, broadcast across lanes. The totals come from
-    # a fresh reduction (not a lane-127 slice, which Mosaic can't relayout).
-    tot = jnp.broadcast_to(jnp.sum(mag, axis=1, keepdims=True), mag.shape)
-    t = tot
-    s = 1
-    while s < rows:
-        rolled = pltpu.roll(t, s, axis=0)  # rolled[r] = t[(r - s) % rows]
-        t = t + jnp.where(row >= s, rolled, 0)
-        s <<= 1
-    return cs + (t - tot)  # + exclusive row offsets
 
 
 def _kernel(
@@ -152,17 +125,39 @@ def _kernel(
         jnp.logical_and(first != 0, spos < spec.halo_staged), 0, mag
     )
 
-    cs = _flat_cumsum(mag)
-    # Exclusive prefix E[j] = sum mag[:j] (tile-local; offset cancels).
-    ex = cs - mag
+    # Width-CL sliding sums W[x] = sum(mag[x .. x+CL)) by binary
+    # decomposition (W_2k[x] = W_k[x] + W_k[x+k]; combine CL's set bits) —
+    # every downstream filter output is a +-1 combination of W at CL-spaced
+    # offsets, so the full prefix sum (log-depth lane scan + row scan,
+    # ~2.5x the passes) is never needed. Exact: int32 wrap addition is
+    # associative, so these sums equal the jnp chain's cumsum differences
+    # bit-for-bit.
+    parts = {1: mag}
+    k = 1
+    while 2 * k <= cl:
+        parts[2 * k] = parts[k] + _shifted(parts[k], k, r_in)
+        k *= 2
+    w_cl = None
+    off = 0
+    rem = cl
+    for bit in reversed(range(cl.bit_length())):
+        p2 = 1 << bit
+        if rem >= p2:
+            term = (
+                parts[p2] if off == 0 else _shifted(parts[p2], off, r_in)
+            )
+            w_cl = term if w_cl is None else w_cl + term
+            off += p2
+            rem -= p2
 
-    def e(k, r=r_out):  # E at staged offset q + pad_shift + k, q in [0, r*128)
-        return _shifted(ex, ps + k, r)
+    def wat(k, r=r_out):  # W_CL at staged offset q + pad_shift + k
+        return _shifted(w_cl, ps + k, r)
 
     # Manchester bits over the EXTENDED range r_bits (the correlation below
     # reads bits up to (PreambleSymbols-1)*SL past the tile's own output).
-    # f[q] = 2E(q+CL) - E(q) - E(q+SL); bit = f >= 0 (decode.go:229-245).
-    f = 2 * e(cl, r_bits) - e(0, r_bits) - e(sl, r_bits)
+    # f[q] = 2E(q+CL) - E(q) - E(q+SL) = W(q) - W(q+CL); bit = f >= 0
+    # (decode.go:229-245).
+    f = wat(0, r_bits) - wat(cl, r_bits)
     bits_ext = (f >= 0).astype(jnp.uint8)
     # Initial PacketLength zero bits of the stream (decode.go:145).
     brow = jax.lax.broadcasted_iota(jnp.int32, (r_bits, LANES), 0)
@@ -196,14 +191,19 @@ def _kernel(
 
     if spec.wants_r900:
         # R900 filter bank over mag[q+SL .. q+SL+4CL) (r900/r900.go:96-149)
-        c0 = e(sl)
-        c1 = e(sl + cl)
-        c2 = e(sl + 2 * cl)
-        c3 = e(sl + 3 * cl)
-        c4 = e(sl + 4 * cl)
-        a0 = 2 * c2 - c4 - c0  # 1100
-        a1 = 2 * c1 - 2 * c2 + 2 * c3 - c4 - c0  # 1010
-        a2 = 2 * c1 - 2 * c3 + c4 - c0  # 1001
+        # in chip-sum form: with d_i = W(q+SL+i*CL) (the i-th chip's
+        # energy), the three kernels are exactly
+        #   a0 = 2c2-c4-c0 = (d0+d1) - (d2+d3)   # 1100
+        #   a1 = 2c1-2c2+2c3-c4-c0 = d0-d1+d2-d3 # 1010
+        #   a2 = 2c1-2c3+c4-c0 = d0-d1-d2+d3     # 1001
+        # (expand c_i = c_0 + sum(d_j, j<i); identical int32 results).
+        d0 = wat(sl)
+        d1 = wat(sl + cl)
+        d2 = wat(sl + 2 * cl)
+        d3 = wat(sl + 3 * cl)
+        a0 = (d0 + d1) - (d2 + d3)  # 1100
+        a1 = d0 - d1 + d2 - d3  # 1010
+        a2 = d0 - d1 - d2 + d3  # 1001
         m0, m1, m2 = jnp.abs(a0), jnp.abs(a1), jnp.abs(a2)
         # Strict-> argmax chain (r900/r900.go:133-143)
         arg = jnp.where(m1 > m0, 1, 0)
