@@ -419,6 +419,80 @@ def test_multihost_cli_single_stops_early(tmp_path):
         assert off % bs2 == 0 and 0 <= off < iq.size
 
 
+def test_multihost_cli_duration_stops_early(tmp_path):
+    """-duration in multi-host mode: both processes hit the deadline, agree
+    via the per-super-batch collective, and exit 0 early (VERDICT r4 item
+    3b). A 0s deadline trips after the first super-batch of a 6-batch
+    capture."""
+    from rtlamr_tpu.decoder import WindowDecoder
+    from rtlamr_tpu.protocols import new_parser
+    from tools.multihost_worker import build_capture
+
+    parsers = [new_parser("scm", 8)]
+    spec = WindowDecoder(parsers, window_blocks=4).spec
+    w = spec.window
+    batch_windows = 2 * 2 * 2
+    from rtlamr_tpu.ref import ReferenceDecoder
+
+    oracle_dec = ReferenceDecoder([new_parser("scm", 8)], arithmetic="int")
+    import numpy as np
+
+    iq_a = build_capture(oracle_dec.cfg, w, batch_windows, 8)
+    iq = np.concatenate([iq_a] * 6)
+    cap = tmp_path / "mh_dur.bin"
+    iq.tofile(cap)
+
+    coordinator = f"127.0.0.1:{_free_port()}"
+    env = {
+        k: v
+        for k, v in os.environ.items()
+        if k not in ("JAX_PLATFORMS", "XLA_FLAGS")
+    }
+    env["PYTHONPATH"] = "/root/repo" + (
+        ":" + env["PYTHONPATH"] if env.get("PYTHONPATH") else ""
+    )
+    procs = [
+        subprocess.Popen(
+            [
+                sys.executable,
+                "-m",
+                "rtlamr_tpu.cli",
+                "-msgtype=scm",
+                "-symbollength=8",
+                "-windowblocks=4",
+                f"-coordinator={coordinator}",
+                "-numprocs=2",
+                f"-procid={p}",
+                "-cpudevices=2",
+                f"-fromfile={cap}",
+                "-format=json",
+                "-duration=1ms",
+            ],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+            cwd="/root/repo",
+            env=env,
+        )
+        for p in range(2)
+    ]
+    n_msgs = 0
+    for p, proc in enumerate(procs):
+        try:
+            o, err = proc.communicate(timeout=540)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail(f"cli proc {p} timed out")
+        assert proc.returncode == 0, f"cli proc {p} failed:\n{err.decode()}"
+        assert b"time limit reached" in err, err.decode()[-500:]
+        for line in o.decode().strip().splitlines():
+            if line.find('{"Time"') >= 0:
+                n_msgs += 1
+    # Stopped after the first super-batch: at most one batch's messages
+    # (3 per repeat of the capture layout) instead of all six repeats'.
+    assert n_msgs <= 3, n_msgs
+
+
 def test_two_process_overflow_storm_and_batch_seam(tmp_path):
     """VERDICT r2 item 3: hit-overflow storm exactly on the process seam
     (escalation re-decode with the true cross-process halo) and a plateau
