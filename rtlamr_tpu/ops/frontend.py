@@ -108,7 +108,7 @@ class FrontendSpec:
     gather_rows: int = 1024
     #: capacity of the expensive per-candidate content gathers (packed bytes
     #: / R900 symbols). Raw hits are first collapsed by the exact pre-slice
-    #: plateau test (see :func:`_edge_group_cumsum`) — adjacent hits with
+    #: plateau test (see :func:`_edge_span_streams`) — adjacent hits with
     #: PROVEN identical content keep only their first position — so the
     #: content gathers, checksum gates and output compaction all run at this
     #: much smaller capacity. Overflow escalates exactly like gather_hits.
