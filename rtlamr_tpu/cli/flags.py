@@ -257,7 +257,8 @@ def build_flagset() -> FlagSet:
     fs.add(
         "mesh",
         False,
-        "shard the time axis across all visible devices",
+        "shard the decode across all visible devices (time axis; with "
+        "-channels > 1, a 2-D channel x time mesh)",
         kind="bool",
     )
     fs.add(
