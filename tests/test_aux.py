@@ -433,6 +433,88 @@ def test_cli_wideband_checkpoint_interrupt_resume(tmp_path, monkeypatch):
     assert got == want
 
 
+def test_cli_wideband_mesh_checkpoint_interrupt_resume(tmp_path, monkeypatch):
+    """Wideband MESH CLI (-channels -mesh over the virtual 8-device mesh):
+    interrupt mid-capture, checkpoint, resume; the concatenated output
+    equals straight-through (VERDICT r4 items 7+8 composed)."""
+    import io
+    import os
+
+    from rtlamr_tpu.io.capture import FileSource
+    from rtlamr_tpu.parallel.wideband_mesh import WidebandMeshDecoder
+    from rtlamr_tpu.ref import synth as _synth
+    import jax
+
+    n_ch = 4
+    parsers = [new_parser(p, 8) for p in ("scm", "r900")]
+    # Same shape the CLI will pick on the virtual 8-device mesh:
+    # 4 channel-shards x 2 time-shards at -windowblocks=4.
+    probe = WidebandMeshDecoder(
+        parsers, n_channels=n_ch, mesh_shape=(4, 2),
+        devices=jax.devices()[:8], window_blocks=4,
+    )
+    span = probe.superbatch_bytes // (2 * n_ch)  # per-channel samples/batch
+    planted = [
+        (0, _synth.bits_to_burst(
+            _synth.make_scm_bits(meter_id=111001, consumption=1), 3000)),
+        # Straddles the checkpoint boundary (super-batch seam).
+        (1, _synth.bits_to_burst(
+            _synth.make_scm_bits(meter_id=222002, consumption=2),
+            span - 700)),
+        (2, _synth.r900_burst(
+            _synth.make_r900_symbols(meter_id=333003), span + 5000)),
+    ]
+    wb = _synth.render_wideband(
+        2 * span, planted, n_ch, 8, amplitude=90.0, noise=2.0, seed=9
+    )
+    cap = tmp_path / "wbm.bin"
+    wb.tofile(cap)
+
+    def cli(ck, out):
+        from rtlamr_tpu.cli.flags import build_flagset
+        from rtlamr_tpu.cli.main import run
+
+        fs = build_flagset()
+        fs.parse(
+            [
+                "-msgtype=scm,r900",
+                "-symbollength=8",
+                "-channels=4",
+                "-mesh=true",
+                "-windowblocks=4",
+                "-ingest=python",
+                f"-fromfile={cap}",
+                f"-checkpoint={ck}",
+            ]
+        )
+        run(fs, out=out)
+        return [
+            line.split(" ", 1)[1]
+            for line in out.getvalue().strip().splitlines()
+        ]
+
+    want = cli(str(tmp_path / "ckm_full"), io.StringIO())
+    assert len(want) >= 3
+
+    ck = str(tmp_path / "ckm")
+    orig_read = FileSource.read
+    calls = {"n": 0}
+
+    def flaky_read(self, n):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            return orig_read(self, probe.superbatch_bytes + 5000)
+        raise KeyboardInterrupt
+
+    with monkeypatch.context() as mp:
+        mp.setattr(FileSource, "read", flaky_read)
+        got = cli(ck, io.StringIO())
+    assert os.path.exists(ck + ".meta.json")
+    assert len(got) < len(want)
+    got += cli(ck, io.StringIO())
+    assert got == want
+
+
 def test_meters_data():
     from rtlamr_tpu.data import COMMODITY_ERT_TYPES, commodity_for_ert_type, load_meters
 
